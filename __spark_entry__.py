@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: plant assertions into a repos-shaped corpus built
+                 from sf0.001 documents, run the real extract stage
+                 (Arrow mapInPandas), aggregate triples per predicate.
+queries()      — one entry per implemented operator from SURVEY.md §2
+                 (plus the training-data-pipeline ops), each with a DuckDB
+                 oracle in oracle_sql() unless genuinely non-SQL.
 """
 
 from __future__ import annotations
@@ -13,26 +14,36 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    import pyspark.sql.functions as F
+
+    from kg_curation_spark.corpus import documents_as_repos
+    from kg_curation_spark.stages.extract import extract_triples
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    repos = documents_as_repos(docs)
+    triples = extract_triples(repos)
+    return (
+        triples.groupBy("predicate")
+        .agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.countDistinct("subject").alias("n_subjects"),
+        )
+        .orderBy("predicate")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kg_curation_spark import entry_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return entry_queries.QUERIES
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kg_curation_spark import entry_queries
+
+    return entry_queries.ORACLES

@@ -1,0 +1,68 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for correctness runs on local[N] but configured the way the job would
+ship to a 1000-executor cluster: AQE on (coalesce + skew-join), Arrow
+transport for every pandas UDF, bounded shuffle partitions, and broadcast
+threshold sized for the dimension tables this engine uses (candidate label
+index, class hierarchy, constraint tables — all small relative to the fact
+tables they join).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kg_curation_spark",
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    parallelism: cores for local mode; defaults to $SPARK_GRAFT_CPUS or '*'.
+    shuffle_partitions: defaults to max(parallelism, 32) — at cluster scale
+    this would be set ~2-3x total cores; AQE coalesces down from there.
+    """
+    cpus = parallelism or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    master = f"local[{cpus}]"
+    n_shuffle = shuffle_partitions or (
+        int(cpus) if str(cpus).isdigit() else 32
+    )
+    n_shuffle = max(n_shuffle, 32)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime re-planning, partition coalescing, skew-join splitting.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        # Arrow for every pandas UDF / toPandas hop.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Dimension tables (label index, class DAG, constraints) stay well
+        # under this; fact-side joins then become broadcast hash joins.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Parquet scan granularity — at 100 TB this bounds task input size.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Load the driver testdata parquet tables as a dict of DataFrames."""
+    names = names or [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}

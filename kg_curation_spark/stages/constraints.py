@@ -1,0 +1,170 @@
+"""Stage 3 — constraint mining + validation + score merge.
+
+Mining (constraint_mining.py:41-128, re-expressed as two-level hash aggs):
+
+  cardinality(p, max_n)  +  card_dist(p, n, rate)
+      n      = #objects per (p, subject)
+      rate   = freq(n) / total subjects of p          [A2]
+  range_con(p, class, rate)   most-specific classes of p's objects
+      most-specific = classes minus any that is an ancestor of another
+      class of the same entity (anti-join, U2)        [A3]
+  range_gen(p, class, rate)   ancestors of the concrete classes
+
+Validation (validate_constraint.py:48-216):
+
+  card_score  piecewise over (max_n, existing object count, rate dist) [A5]
+  range_score noisy-or of rates of candidate's matching classes;
+              0 when no class matches; (reference also has a mean
+              fallback for classless entities — kept)               [A4]
+  final = (model_score + (card_score + range_score)/2) / 2           [J8]
+
+All pure DataFrame aggregations — partial+final combinable, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scoring import noisy_or
+
+
+# ---------------------------------------------------------------------------
+# Mining
+
+
+def mine_cardinality(kb_triples: DataFrame) -> DataFrame:
+    """-> (p, n, rate, max_n): distribution of per-subject object counts."""
+    per_subj = kb_triples.groupBy("p", "s").agg(
+        F.countDistinct("o").alias("n")
+    )
+    dist = per_subj.groupBy("p", "n").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("p")
+    return dist.select(
+        "p",
+        "n",
+        (F.col("freq") / F.sum("freq").over(w)).alias("rate"),
+        F.max("n").over(w).alias("max_n"),
+    )
+
+
+def mine_range(
+    kb_triples: DataFrame, entity_class: DataFrame, class_ancestor: DataFrame
+) -> DataFrame:
+    """-> (p, kind: con|gen, class, rate).
+
+    con: most-specific classes of p's objects, rate = |objs of p in c| /
+    |objs of p with any class|; gen: ancestors of con classes, same rate
+    accounting (constraint_mining.py:71-119).
+    """
+    po = kb_triples.select("p", F.col("o").alias("entity")).distinct()
+    oc = po.join(entity_class, "entity")  # (p, entity, class)
+
+    # most-specific: drop class c if some other class c' of the same entity
+    # has c as ancestor
+    anc_of_other = (
+        oc.select("p", "entity", F.col("class").alias("sub"))
+        .join(
+            class_ancestor.select(
+                F.col("class").alias("sub"), F.col("ancestor").alias("class")
+            ),
+            "sub",
+        )
+        .select("p", "entity", "class")
+        .distinct()
+    )
+    con = oc.join(anc_of_other, ["p", "entity", "class"], "left_anti")
+
+    totals = oc.groupBy("p").agg(F.countDistinct("entity").alias("total"))
+
+    def rated(df: DataFrame, kind: str) -> DataFrame:
+        counts = df.groupBy("p", "class").agg(
+            F.countDistinct("entity").alias("cnt")
+        )
+        return counts.join(totals, "p").select(
+            "p",
+            F.lit(kind).alias("kind"),
+            "class",
+            (F.col("cnt") / F.col("total")).alias("rate"),
+        )
+
+    gen = (
+        con.join(class_ancestor, "class")
+        .select("p", "entity", F.col("ancestor").alias("class"))
+        .distinct()
+    )
+    return rated(con, "con").unionByName(rated(gen, "gen"))
+
+
+# ---------------------------------------------------------------------------
+# Validation
+
+
+def cardinality_score(
+    scored: DataFrame, card: DataFrame, kb_triples: DataFrame, theta: float = 0.9
+) -> DataFrame:
+    """A5 piecewise score per candidate row.
+
+    existing = #distinct objects already held by (subject, predicate) in the
+    KB (J9); adding the candidate makes n_new = existing + 1. Score:
+      rate[n_new]                      if n_new <= max_n and rate known
+      sum(rate[n >= n_new]) * (1-r)    overflow-tolerant tail mass
+      0                                if no constraint for p
+    (validate_constraint.py:84-104 semantics, flattened to one join + agg.)
+    """
+    existing = kb_triples.groupBy(
+        F.col("s").alias("subject"), F.col("p").alias("predicate")
+    ).agg(F.countDistinct("o").alias("n_existing"))
+
+    base = scored.join(existing, ["subject", "predicate"], "left").fillna(
+        {"n_existing": 0}
+    ).withColumn("n_new", F.col("n_existing") + 1)
+
+    # constraint stats are computed per distinct (predicate, n_new) — a tiny
+    # dimension — then broadcast back; the wide fact rows never re-shuffle.
+    need = base.select("predicate", "n_new").distinct()
+    stats = (
+        need.join(card.withColumnRenamed("p", "predicate"), "predicate", "left")
+        .groupBy("predicate", "n_new")
+        .agg(
+            F.max("max_n").alias("max_n"),
+            F.sum(F.when(F.col("n") == F.col("n_new"), F.col("rate"))).alias("rate_eq"),
+            F.sum(F.when(F.col("n") >= F.col("n_new"), F.col("rate"))).alias("rate_tail"),
+        )
+    )
+    agg = base.join(F.broadcast(stats), ["predicate", "n_new"], "left")
+    return agg.withColumn(
+        "card_score",
+        F.when(F.col("max_n").isNull(), 0.0)
+        .when(F.col("rate_eq").isNotNull(), F.col("rate_eq"))
+        .when(F.col("n_new") <= F.col("max_n"), F.coalesce("rate_tail", F.lit(0.0)))
+        .otherwise(0.0),
+    ).drop("max_n", "rate_eq", "rate_tail", "n_new")
+
+
+def range_score(
+    scored: DataFrame, rng: DataFrame, entity_class: DataFrame
+) -> DataFrame:
+    """A4 noisy-or over the candidate's classes matching p's range."""
+    con = rng.filter(F.col("kind") == "con").select(
+        F.col("p").alias("predicate"), "class", "rate"
+    )
+    matches = (
+        scored.select("subject", "predicate", "literal_norm", "entity")
+        .join(entity_class, "entity")
+        .join(con, ["predicate", "class"])
+        .groupBy("subject", "predicate", "literal_norm", "entity")
+        .agg(noisy_or(F.col("rate")).alias("range_score"))
+    )
+    return scored.join(
+        matches, ["subject", "predicate", "literal_norm", "entity"], "left"
+    ).fillna({"range_score": 0.0})
+
+
+def merge_scores(df: DataFrame) -> DataFrame:
+    """J8: final = (model + constraint)/2, constraint = mean(card, range)."""
+    return df.withColumn(
+        "constraint_score", (F.col("card_score") + F.col("range_score")) / 2.0
+    ).withColumn(
+        "final_score", (F.col("model_score") + F.col("constraint_score")) / 2.0
+    )
