@@ -1,0 +1,108 @@
+"""Benchmark: headline queries + the KG pipeline at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1, "kg_triples_per_sec": N}
+
+The kg_pipeline entry runs the full extract->link->constrain->decide chain
+over a synthesized corpus of KG_QUADS assertions (deterministic, no
+external data) and reports throughput in emitted triples/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+HEADLINE = [
+    "extract_triples_docs",
+    "topk_per_group",
+    "cardinality_histogram",
+    "range_histogram",
+    "noisy_or",
+    "score_merge",
+    "hits_at_k_mrr",
+    "threshold_sweep",
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "quality_features",
+    "cosine_topk",
+    "lsh_cosine_topk",
+    "connected_components_star",
+    "salted_join_equivalence",
+    "events_hourly_rollup",
+]
+
+KG_QUADS = int(os.environ.get("KG_BENCH_QUADS", "20000"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    from kg_curation_spark.session import get_spark
+
+    spark = get_spark(app_name="kgcs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    timings: dict[str, float] = {}
+    t_all = time.time()
+    for name in HEADLINE:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    # KG pipeline throughput on a synthesized corpus
+    from kg_curation_spark import synth
+    from kg_curation_spark.stages.pipeline import run_pipeline
+
+    quads = synth.synthetic_quads(spark, KG_QUADS)
+    corpus = synth.render_corpus(quads, files_per_repo=200)
+    corpus_path = tempfile.mkdtemp(prefix="kgbench_corpus_")
+    corpus.write.mode("overwrite").parquet(corpus_path)
+    repos = spark.read.parquet(corpus_path)
+    kb = synth.build_kb(spark, quads)
+    kge = spark.createDataFrame(
+        synth.build_kge(quads.toPandas()), "id string, kind string, vec array<float>"
+    )
+    wd = tempfile.mkdtemp(prefix="kgbench_wd_")
+    t0 = time.time()
+    ctx = run_pipeline(spark, repos, kb, kge, wd, num_partitions=64)
+    kg_wall = time.time() - t0
+    triples = ctx.ran[-1].rows_out
+    timings["kg_pipeline"] = round(kg_wall, 3)
+    shutil.rmtree(wd, ignore_errors=True)
+    shutil.rmtree(corpus_path, ignore_errors=True)
+
+    total = round(time.time() - t_all, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "kg_quads": KG_QUADS,
+                "kg_emitted_triples": triples,
+                "kg_triples_per_sec": round(triples / kg_wall, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -426,3 +426,339 @@ def threshold_sweep_query(spark, sf_dir):
         )
         .select(F.round(F.col("t") * 0.05, 2).alias("theta"), "accuracy")
     )
+
+
+# =========================================================================
+# Training-data-pipeline operators: dedup / similarity / text analysis
+# =========================================================================
+
+# tokenization in SQL, identical to functions.text.tokenize
+_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), "
+    "'[^a-z0-9]+', ' ', 'g')), ' '), t -> len(t) > 0)"
+)
+# distinct word-3-gram shingles in SQL, identical to word_ngrams(tokenize,3)
+_SHINGLES_SQL = (
+    "WITH toks AS (SELECT doc_id AS id, " + _TOKS_SQL + " AS t FROM documents), "
+    "sh AS (SELECT id, unnest(list_distinct(CASE WHEN len(t) >= 3 THEN "
+    "  list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) "
+    "  ELSE [] END)) AS shingle FROM toks) "
+)
+
+
+@q(
+    "exact_dedup",  # hash-groupBy exact dedup
+    "SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_dupes "
+    "FROM documents GROUP BY 1",
+)
+def exact_dedup_query(spark, sf_dir):
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q(
+    "minhash_signatures",  # shingle -> seeded min-hash signature
+    _SHINGLES_SQL
+    + "SELECT id, seed, min(('0x' || substr(md5(seed || '|' || shingle), 1, 8))::ubigint::bigint) AS minhash "
+    "FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) "
+    "GROUP BY id, seed",
+)
+def minhash_signatures_query(spark, sf_dir):
+    from .operators.dedup import minhash_signatures, shingle_table
+
+    sh = shingle_table(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+    return minhash_signatures(sh, n_hashes=8)
+
+
+@q(
+    "lsh_candidate_pairs",  # banded LSH bucket-join candidate pairs
+    _SHINGLES_SQL
+    + ", sig AS ("
+    "  SELECT id, seed, min(('0x' || substr(md5(seed || '|' || shingle), 1, 8))::ubigint::bigint) AS minhash "
+    "  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) GROUP BY id, seed), "
+    "buckets AS ("
+    "  SELECT id, seed // 2 AS band, string_agg(minhash::varchar, '_' ORDER BY seed) AS bucket "
+    "  FROM sig GROUP BY id, seed // 2) "
+    "SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM buckets a "
+    "JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id",
+)
+def lsh_candidate_pairs_query(spark, sf_dir):
+    from .operators.dedup import lsh_candidate_pairs, minhash_signatures, shingle_table
+
+    sh = shingle_table(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+    sig = minhash_signatures(sh, n_hashes=8)
+    return lsh_candidate_pairs(sig, bands=4)
+
+
+@q(
+    "simhash",  # sign-sum simhash over stable 32-bit token hashes
+    "WITH toks AS (SELECT doc_id AS id, unnest(" + _TOKS_SQL + ") AS tok FROM documents), "
+    "h AS (SELECT id, ('0x' || substr(md5('0|' || tok), 1, 8))::ubigint::bigint AS h FROM toks), "
+    "bits AS (SELECT id, bit, CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS c "
+    "         FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit)), "
+    "s AS (SELECT id, bit, sum(c) AS s FROM bits GROUP BY 1, 2) "
+    "SELECT id, sum(CASE WHEN s > 0 THEN (1::bigint << bit) ELSE 0 END) AS simhash "
+    "FROM s GROUP BY id",
+)
+def simhash_query(spark, sf_dir):
+    from .operators.dedup import simhash64
+
+    return simhash64(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=32)
+
+
+@q(
+    "ngram_jaccard_pairs",  # near-dup pairs by shingle Jaccard
+    _SHINGLES_SQL
+    + ", sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id), "
+    "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i FROM sh a "
+    "          JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2) "
+    "SELECT id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard "
+    "FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b "
+    "WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2",
+)
+def ngram_jaccard_pairs_query(spark, sf_dir):
+    from .operators.dedup import ngram_jaccard_pairs, shingle_table
+
+    sh = shingle_table(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+    return ngram_jaccard_pairs(sh, tau=0.2)
+
+
+@q(
+    "quality_features",  # corpus-cleaning quality heuristics
+    "WITH toks AS (SELECT doc_id, text, " + _TOKS_SQL + " AS t FROM documents) "
+    "SELECT doc_id AS id, length(text) AS n_chars, len(t) AS n_tokens, "
+    "  round(CASE WHEN length(text) > 0 THEN length(regexp_replace(text, "
+    "    '[^.,;:!?''\"()\\[\\]{}]', '', 'g')) * 1.0 / length(text) ELSE 0 END, 6) AS punct_ratio, "
+    "  round(CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^A-Z]', '', 'g')) "
+    "    * 1.0 / length(text) ELSE 0 END, 6) AS upper_ratio, "
+    "  round(CASE WHEN len(t) > 0 THEN list_sum(list_transform(t, x -> len(x) * 1.0)) / len(t) "
+    "    ELSE 0 END, 6) AS mean_token_len, "
+    "  round((CASE WHEN len(t) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0 END) + "
+    "        (CASE WHEN (CASE WHEN length(text) > 0 THEN length(regexp_replace(text, "
+    "          '[^.,;:!?''\"()\\[\\]{}]', '', 'g')) * 1.0 / length(text) ELSE 0 END) <= 0.2 "
+    "          THEN 0.3 ELSE 0 END) + "
+    "        (CASE WHEN len(t) > 0 AND (list_sum(list_transform(t, x -> len(x) * 1.0)) / len(t)) "
+    "          BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0 END), 2) AS quality "
+    "FROM toks",
+)
+def quality_features_query(spark, sf_dir):
+    from .textstats import quality_features
+
+    return quality_features(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q(
+    "langid",  # marker-word language-ID heuristic, ties -> 'und'
+    "WITH s AS (SELECT doc_id AS id, "
+    "  len(list_intersect(list_distinct(" + _TOKS_SQL + "), ['the','and','of','a','is'])) AS s_en, "
+    "  len(list_intersect(list_distinct(" + _TOKS_SQL + "), ['der','und','die','ist','das'])) AS s_de, "
+    "  len(list_intersect(list_distinct(" + _TOKS_SQL + "), ['le','et','la','est','les'])) AS s_fr, "
+    "  len(list_intersect(list_distinct(" + _TOKS_SQL + "), ['el','de','la','es','los'])) AS s_es "
+    "  FROM documents) "
+    "SELECT id, CASE WHEN m >= 1 AND cnt = 1 THEN "
+    "  (CASE WHEN s_en = m THEN 'en' WHEN s_de = m THEN 'de' "
+    "        WHEN s_fr = m THEN 'fr' ELSE 'es' END) ELSE 'und' END AS lang_pred "
+    "FROM (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS m, "
+    "  (s_en = greatest(s_en, s_de, s_fr, s_es))::int + (s_de = greatest(s_en, s_de, s_fr, s_es))::int + "
+    "  (s_fr = greatest(s_en, s_de, s_fr, s_es))::int + (s_es = greatest(s_en, s_de, s_fr, s_es))::int AS cnt "
+    "  FROM s)",
+)
+def langid_query(spark, sf_dir):
+    from .textstats import langid
+
+    return langid(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q(
+    "fingerprint",  # min char-5-gram hash content fingerprint
+    "WITH norm AS (SELECT doc_id AS id, "
+    "  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')) AS nt "
+    "  FROM documents) "
+    "SELECT id, CASE WHEN length(nt) >= 5 THEN "
+    "  list_min(list_transform(list_distinct(list_transform(range(1, length(nt) - 3), "
+    "    i -> substr(nt, i, 5))), s -> ('0x' || substr(md5('0|' || s), 1, 8))::ubigint::bigint)) "
+    "  ELSE ('0x' || substr(md5('0|' || nt), 1, 8))::ubigint::bigint END AS fingerprint "
+    "FROM norm",
+)
+def fingerprint_query(spark, sf_dir):
+    from .textstats import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text", k=5)
+
+
+# =========================================================================
+# Similarity search over embeddings
+# =========================================================================
+
+_DOT64 = (
+    "list_sum(list_transform(range(1, 65), i -> a.embedding[i]::double * b.embedding[i]::double))"
+)
+_NORM = "sqrt(list_sum(list_transform(range(1, 65), i -> {v}.embedding[i]::double * {v}.embedding[i]::double)))"
+
+
+@q(
+    "cosine_topk",  # brute-force exact cosine top-k (ANN baseline)
+    "WITH scored AS ("
+    "  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, "
+    "         round(" + _DOT64 + " / (" + _NORM.format(v="a") + " * " + _NORM.format(v="b") + ") + 1e-12, 6) AS cosine "
+    "  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) "
+    "SELECT query_id, neighbor_id, cosine, rank FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY query_id "
+    "      ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) "
+    "WHERE rank <= 5",
+)
+def cosine_topk_query(spark, sf_dir):
+    from .operators.ann import brute_force_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+@q("lsh_cosine_topk")  # approximate ANN — no SQL oracle (hyperplane LSH)
+def lsh_cosine_topk_query(spark, sf_dir):
+    from .operators.ann import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=4, n_tables=4, dim=64
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+@q(
+    "transe_pair_score",  # F8: batched embedding similarity (r = zero vec)
+    "SELECT a.vec_id AS h, b.vec_id AS t, "
+    "  round(1.0 / (1.0 + exp(-1.0 / greatest(list_sum(list_transform(range(1, 65), "
+    "    i -> abs(a.embedding[i]::double - b.embedding[i]::double))) / 64, 1e-9))) + 1e-9, 4) AS score "
+    "FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 250",
+)
+def transe_pair_score_query(spark, sf_dir):
+    from .functions.scoring import transe_score
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("h"), F.col("embedding").alias("hv"))
+    b = emb.select(F.col("vec_id").alias("t"), F.col("embedding").alias("tv"))
+    zero = F.array_repeat(F.lit(0.0).cast("float"), 64)
+    return (
+        a.join(b, F.col("t") == F.col("h") + 250)
+        .withColumn("rv", zero)
+        .select(
+            "h", "t",
+            F.round(transe_score("hv", "rv", "tv") + 1e-9, 4).alias("score"),
+        )
+    )
+
+
+# =========================================================================
+# Multimodal plumbing / misc engine operators
+# =========================================================================
+
+@q(
+    "media_features_meta",  # binary-column plumbing via mapInPandas
+    "SELECT 'm' || doc_id AS media_id, "
+    "  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, "
+    "  octet_length(encode(text)) AS n_bytes, 8 AS feature_dim "
+    "FROM documents",
+)
+def media_features_meta_query(spark, sf_dir):
+    from .multimodal import asset_table, extract_features
+
+    media = asset_table(_t(spark, sf_dir, "documents"))
+    return extract_features(media, fake_decode=True).select(
+        "media_id", "kind", "n_bytes", F.size("feature").alias("feature_dim")
+    )
+
+
+@q(
+    "redirect_closure",  # J12: bounded 2-hop closure (util_kb.py:186-217)
+    "WITH e AS (SELECT n_name AS entity, r_name AS equivalent "
+    "           FROM nation JOIN region ON n_regionkey = r_regionkey), "
+    "sym AS (SELECT entity, equivalent FROM e "
+    "        UNION SELECT equivalent, entity FROM e), "
+    "hop2 AS (SELECT a.entity, b.equivalent FROM sym a JOIN sym b ON a.equivalent = b.entity), "
+    "ident AS (SELECT entity, entity FROM (SELECT entity FROM sym "
+    "          UNION SELECT equivalent FROM sym)) "
+    "SELECT DISTINCT * FROM (SELECT * FROM sym UNION ALL SELECT * FROM hop2 "
+    "UNION ALL SELECT * FROM ident)",
+)
+def redirect_closure_query(spark, sf_dir):
+    from .stages.canonicalize import redirect_closure
+
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    edges = n.join(r, n.n_regionkey == r.r_regionkey).select(
+        F.col("n_name").alias("entity"), F.col("r_name").alias("equivalent")
+    )
+    return redirect_closure(edges)
+
+
+@q(
+    "connected_components_star",  # iterative components on a star-shaped graph
+    "WITH e AS (SELECT c_name, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey), "
+    "rep AS (SELECT n_name, least(min(c_name), n_name) AS component FROM e GROUP BY n_name) "
+    "SELECT c_name AS node, component FROM e JOIN rep USING (n_name) "
+    "UNION SELECT n_name AS node, component FROM rep",
+)
+def connected_components_star_query(spark, sf_dir):
+    from .operators.components import connected_components
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    edges = c.join(n, c.c_nationkey == n.n_nationkey).select(
+        F.col("c_name").alias("src"), F.col("n_name").alias("dst")
+    )
+    return connected_components(edges, num_partitions=16)
+
+
+@q(
+    "salted_join_equivalence",  # §4 skew pattern: salted == plain join
+    "SELECT s_nationkey, count(*) AS n, round(sum(l_extendedprice) + 1e-7, 2) AS revenue "
+    "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+    "GROUP BY s_nationkey",
+)
+def salted_join_equivalence_query(spark, sf_dir):
+    from .operators.salt import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_suppkey", "s_suppkey")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(li, sup, on=["s_suppkey"], salt=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice") + 1e-7, 2).alias("revenue"),
+    )
+
+
+@q(
+    "events_hourly_rollup",  # tumbling-window aggregate over the event stream
+    "SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, "
+    "  count(*) AS n, round(avg(value) + 1e-9, 6) AS avg_value "
+    "FROM events GROUP BY 1, 2",
+)
+def events_hourly_rollup_query(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value") + 1e-9, 6).alias("avg_value"),
+    )
+
+
+@q(
+    "extract_triples_docs",  # stage 1 extractor over the documents corpus
+    "SELECT 'http://example.org/doc/doc_' || doc_id AS subject, "
+    "       'http://example.org/prop/source' AS predicate, source AS literal "
+    "FROM documents "
+    "UNION ALL "
+    "SELECT 'http://example.org/doc/doc_' || doc_id, "
+    "       'http://example.org/prop/lang', lang FROM documents",
+)
+def extract_triples_docs_query(spark, sf_dir):
+    from .corpus import documents_as_repos
+    from .stages.extract import extract_triples
+
+    repos = documents_as_repos(_t(spark, sf_dir, "documents"))
+    return extract_triples(repos).select("subject", "predicate", "literal")

@@ -56,6 +56,17 @@ def connected_components(
     )
     g = _symmetrize(e).repartition(num_partitions, "u").localCheckpoint()
 
+    def _sig(df):
+        # order-insensitive edge-set signature; bit_xor is overflow-free
+        # under ANSI mode and edges are distinct (no xor cancellation)
+        return tuple(
+            df.agg(
+                F.bit_xor(F.xxhash64("u", "v")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+        )
+
+    sig_old = _sig(g)
     for _ in range(max_iter):
         # large-star: connect every neighbor v>u to m = min(N(u) ∪ {u})
         nbr_min = g.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
@@ -77,10 +88,13 @@ def connected_components(
         )
         g_new = _symmetrize(small).repartition(num_partitions, "u").localCheckpoint()
 
-        changed = g_new.exceptAll(g).limit(1).count()
+        # convergence check: one cheap agg per round (signature of the
+        # previous round is carried over, not recomputed)
+        sig_new = _sig(g_new)
         g = g_new
-        if changed == 0:
+        if sig_new == sig_old:
             break
+        sig_old = sig_new
 
     # After convergence the graph is a union of stars: label = min(u, N(u)).
     labels = (

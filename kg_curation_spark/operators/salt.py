@@ -31,10 +31,10 @@ def salted_join(
     whole hot key's rows. Equivalent to fact.join(dim, on, how).
     """
     fact_s = fact.withColumn(
-        "__salt", F.pmod(F.hash(F.rand(seed=7) * 1e9), F.lit(salt)).cast("int")
+        "__salt", F.pmod(F.hash(F.rand(seed=7) * 1e9), F.lit(salt))
     )
     dim_s = dim.withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).cast("int")
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     out = fact_s.join(F.broadcast(dim_s), on + ["__salt"], how)
     return out.drop("__salt")

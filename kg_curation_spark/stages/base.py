@@ -84,7 +84,14 @@ class PipelineContext:
             "stage", F.lit(name)
         )
         lineage.write.mode("append").parquet(os.path.join(self.workdir, "_lineage"))
-        rows = committed.count()
+        # stage rows == sum of its lineage rows — no second scan
+        rows = (
+            self.spark.read.parquet(os.path.join(self.workdir, "_lineage"))
+            .filter(F.col("stage") == name)
+            .agg(F.sum("rows_out"))
+            .first()[0]
+            or 0
+        )
         wall = time.time() - t0
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:

@@ -10,12 +10,17 @@ entities whose label shares tokens with the literal, ranked by Jaccard
 overlap with exact-match forced to the top, deterministic tie-break
 (score desc, entity asc) per FIXTURES.md §7.
 
-Scale design (the literal side is heavily skewed — hot literals like
-"Baku"/"Paris" repeat): candidate generation runs over *distinct* literals
-only (exactly what the reference's Lookup_Cache memoizes), so a hot literal
-costs one row in this stage; the fan-back-out to assertions is a later join
-where AQE skew-split applies. The token inverted index is the shuffle key —
-tokens are diverse, so no hot reducer.
+Scale design:
+  * candidate generation runs over *distinct* literals only (exactly what
+    the reference's Lookup_Cache memoizes) — a hot literal ("Baku" x 1000)
+    costs one row here; the fan-back-out is a later AQE-skew-handled join.
+  * the token inverted index drops ultra-common tokens (document frequency
+    > max_token_df over the label corpus) — the blocking move every
+    entity-linking system makes; without it one stop-token ("the", "of",
+    or a corpus-wide boilerplate word) makes the index self-join
+    quadratic. Exact literal==label matches are recovered by a separate
+    direct equi-join on the normalized string, so DF-pruning can never
+    lose a perfect match.
 """
 
 from __future__ import annotations
@@ -28,7 +33,10 @@ from ..operators.topk import topk_per_group
 
 
 def generate_candidates(
-    assertions: DataFrame, entity_label: DataFrame, k: int = 30
+    assertions: DataFrame,
+    entity_label: DataFrame,
+    k: int = 30,
+    max_token_df: int = 1000,
 ) -> DataFrame:
     lits = (
         assertions.select(normalize_text("literal").alias("literal_norm"))
@@ -43,26 +51,41 @@ def generate_candidates(
         .withColumn("n_lab", F.size("lab_tokens"))
     )
 
-    # token inverted index join (distinct tokens per side to count overlap)
+    # exact-match lane: direct equi-join, immune to token pruning
+    exact = lits.join(
+        labs, lits.literal_norm == labs.label_norm
+    ).select("literal_norm", "entity", F.lit(1.0).alias("lex_score"))
+
+    # blocking lane: token inverted index with document-frequency pruning
+    lab_tok = labs.select(
+        "entity", "n_lab", F.explode("lab_tokens").alias("tok")
+    )
+    tok_df = lab_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # the COMMON set is small by construction (few tokens exceed the cap)
+    # -> broadcast anti-join; the rare set can be arbitrarily large.
+    common = tok_df.filter(F.col("df") > max_token_df).select("tok")
+    lab_tok = lab_tok.join(F.broadcast(common), "tok", "left_anti")
     lit_tok = lits.select(
         "literal_norm", "n_lit", F.explode("lit_tokens").alias("tok")
-    )
-    lab_tok = labs.select(
-        "entity", "label_norm", "n_lab", F.explode("lab_tokens").alias("tok")
-    )
+    ).join(F.broadcast(common), "tok", "left_anti")
+
     overlap = (
         lit_tok.join(lab_tok, "tok")
-        .groupBy("literal_norm", "n_lit", "entity", "label_norm", "n_lab")
+        .groupBy("literal_norm", "n_lit", "entity", "n_lab")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    scored = overlap.select(
+    fuzzy = overlap.select(
         "literal_norm",
         "entity",
-        F.when(F.col("literal_norm") == F.col("label_norm"), F.lit(1.0))
-        .otherwise(
-            F.col("inter") / (F.col("n_lit") + F.col("n_lab") - F.col("inter"))
-        )
-        .alias("lex_score"),
+        (F.col("inter") / (F.col("n_lit") + F.col("n_lab") - F.col("inter"))).alias(
+            "lex_score"
+        ),
+    )
+
+    scored = (
+        exact.unionByName(fuzzy)
+        .groupBy("literal_norm", "entity")
+        .agg(F.max("lex_score").alias("lex_score"))
     )
     return topk_per_group(
         scored,

@@ -51,6 +51,15 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
+def extract_triples_raw(repos: DataFrame) -> DataFrame:
+    """Per-file extraction only (no dedup) — shared by the batch stage and
+    the streaming path (append-mode streams cannot aggregate without a
+    watermark, so dedup stays batch-side)."""
+    return repos.select(
+        "repo", "path", "commit", "content", F.sha2("content", 256).alias("content_sha")
+    ).mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
+
+
 def extract_triples(repos: DataFrame) -> DataFrame:
     """Extract candidate (subject, predicate, literal) triples.
 
@@ -60,9 +69,7 @@ def extract_triples(repos: DataFrame) -> DataFrame:
     on the triple key while the provenance columns keep one witness row
     (min-struct agg) — at 100 TB the shuffle key is the triple, not the row.
     """
-    raw = repos.select(
-        "repo", "path", "commit", "content", F.sha2("content", 256).alias("content_sha")
-    ).mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
+    raw = extract_triples_raw(repos)
     # one witness per distinct (s,p,l): map-side combinable min-agg
     return raw.groupBy("subject", "predicate", "literal").agg(
         F.min(F.struct("repo", "path", "commit", "content_sha")).alias("w")

@@ -87,8 +87,11 @@ def run_pipeline(
         "materialize",
         lambda: apply_canonical(decided, canon),
         # final graph partitioned by predicate — the reference's own cache
-        # layout (PTriple_Cache keyed by property) and the natural query key
+        # layout (PTriple_Cache keyed by property) and the natural query key.
+        # repartition on predicate ONLY: with (predicate, subject) each task
+        # would write a file into every predicate dir (|tasks| x |predicates|
+        # small files); on-predicate keeps it ~1 file per predicate.
         partition_by=["predicate"],
-        repartition=(num_partitions, ["predicate", "subject"]),
+        repartition=(num_partitions, ["predicate"]),
     )
     return ctx

@@ -33,7 +33,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.scoring import transe_score
 from ..functions.text import normalize_text
 
 # deterministic stand-in weights for the plausibility model (M8): logistic
@@ -84,28 +83,46 @@ def attach_features(
         cand.join(evec.withColumnRenamed("id", "subject").withColumnRenamed("vec", "s_vec"), "subject", "left")
         .join(rvec.withColumnRenamed("id", "predicate").withColumnRenamed("vec", "r_vec"), "predicate", "left")
         .join(evec.withColumnRenamed("id", "entity").withColumnRenamed("vec", "o_vec"), "entity", "left")
-        .withColumn("emb_score", transe_score("s_vec", "r_vec", "o_vec"))
-        .drop("s_vec", "r_vec", "o_vec")
     )
     return cand
 
 
-def _model_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _stack(col: pd.Series, dim: int) -> np.ndarray:
+    out = np.zeros((len(col), dim), dtype="float64")
+    mask = col.notna()
+    if mask.any():
+        out[mask.to_numpy()] = np.stack(col[mask].to_numpy())
+    return out
+
+
+def _score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """TransE (F8) + plausibility logistic (M8) in ONE Arrow pass — the
+    vector columns enter Python exactly once."""
     for pdf in batches:
+        dim = next(
+            (len(v) for v in pdf["s_vec"] if v is not None), 16
+        )
+        sv = _stack(pdf["s_vec"], dim)
+        rv = _stack(pdf["r_vec"], dim)
+        ov = _stack(pdf["o_vec"], dim)
+        d = np.abs(sv + rv - ov).mean(axis=1)
+        pdf["emb_score"] = 1.0 / (1.0 + np.exp(-1.0 / np.maximum(d, 1e-9)))
         x = pdf[MODEL_FEATURES].to_numpy(dtype="float64")
         z = x @ MODEL_W[:-1] + MODEL_W[-1]
         pdf["model_score"] = 1.0 / (1.0 + np.exp(-z))
-        yield pdf
+        yield pdf.drop(columns=["s_vec", "r_vec", "o_vec"])
 
 
 def apply_plausibility_model(scored: DataFrame) -> DataFrame:
     """Batch inference over Arrow batches (mapInPandas) — M8 surface."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    keep = [f for f in scored.schema.fields if not f.name.endswith("_vec")]
     schema = StructType(
-        list(scored.schema.fields) + [StructField("model_score", DoubleType())]
+        keep
+        + [StructField("emb_score", DoubleType()), StructField("model_score", DoubleType())]
     )
-    return scored.mapInPandas(_model_batches, schema=schema)
+    return scored.mapInPandas(_score_batches, schema=schema)
 
 
 def score_candidates(

@@ -1,0 +1,76 @@
+"""Dedup family: exact, MinHash/LSH, SimHash, n-gram Jaccard."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from kg_curation_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_table,
+    simhash64,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river shore"),  # near dup
+    (4, "completely different content about spark shuffles and partitions"),
+    (5, "another unrelated text mentioning catalyst optimizer and codegen"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_exact_dedup_groups_identical(spark):
+    out = {r["keeper"]: r["n_dupes"] for r in
+           exact_dedup(_docs(spark), "doc_id", "text").collect()}
+    assert out[1] == 2      # docs 1+2 collapse
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_minhash_identical_signatures(spark):
+    sh = shingle_table(_docs(spark), "doc_id", "text", k=3)
+    sig = minhash_signatures(sh, n_hashes=8).collect()
+    by_doc = {}
+    for r in sig:
+        by_doc.setdefault(r["id"], {})[r["seed"]] = r["minhash"]
+    assert by_doc[1] == by_doc[2]          # identical docs -> identical sig
+    shared = sum(1 for s in range(8) if by_doc[1][s] == by_doc[3][s])
+    assert shared >= 4                     # near-dup shares most minhashes
+
+
+def test_lsh_finds_near_dup_pair(spark):
+    sh = shingle_table(_docs(spark), "doc_id", "text", k=3)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(minhash_signatures(sh, 8), bands=4).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs or (2, 3) in pairs
+    assert (4, 5) not in pairs
+
+
+def test_ngram_jaccard_scores(spark):
+    sh = shingle_table(_docs(spark), "doc_id", "text", k=3)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(sh, tau=0.2).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    assert (4, 5) not in pairs
+
+
+def test_simhash_hamming(spark):
+    out = {r["id"]: r["simhash"] for r in
+           simhash64(_docs(spark), "doc_id", "text", bits=32).collect()}
+    assert out[1] == out[2]
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(out[1], out[3]) < ham(out[1], out[4])
+    assert ham(out[1], out[3]) <= 8

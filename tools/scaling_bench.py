@@ -1,0 +1,113 @@
+"""Scaling-efficiency evidence (BASELINE.json north rule).
+
+Runs the IDENTICAL KG pipeline job on the IDENTICAL input at two
+parallelism levels (default local[8] vs local[32] — the sandbox stand-in
+for N vs 4N executors) in separate JVMs, and reports throughput at both
+plus scaling efficiency = (T_N / T_4N) / 4.
+
+Usage:
+    python tools/scaling_bench.py            # both levels + report
+    python tools/scaling_bench.py --run 8    # single measured run (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUADS = int(os.environ.get("KG_SCALE_QUADS", "60000"))
+CORPUS = os.environ.get("KG_SCALE_CORPUS", "/tmp/kg_scale_corpus")
+
+
+def prepare_corpus() -> None:
+    """Materialize the shared input once (not timed)."""
+    from kg_curation_spark import synth
+    from kg_curation_spark.session import get_spark
+
+    spark = get_spark(app_name="kgcs-scale-prep", parallelism=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    quads = synth.synthetic_quads(spark, QUADS)
+    synth.render_corpus(quads, files_per_repo=400).write.mode("overwrite").parquet(
+        f"{CORPUS}/repos"
+    )
+    kb = synth.build_kb(spark, quads)
+    for name, df in kb.items():
+        df.write.mode("overwrite").parquet(f"{CORPUS}/{name}")
+    kge = spark.createDataFrame(
+        synth.build_kge(quads.toPandas()), "id string, kind string, vec array<float>"
+    )
+    kge.write.mode("overwrite").parquet(f"{CORPUS}/kge")
+    spark.stop()
+
+
+def run_once(cpus: int) -> dict:
+    from kg_curation_spark.session import get_spark
+    from kg_curation_spark.stages.pipeline import run_pipeline
+
+    spark = get_spark(
+        app_name=f"kgcs-scale-{cpus}", parallelism=cpus, shuffle_partitions=max(cpus * 2, 32)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    repos = spark.read.parquet(f"{CORPUS}/repos")
+    kb = {
+        n: spark.read.parquet(f"{CORPUS}/{n}")
+        for n in ("entity_label", "kb_triples", "entity_class", "class_ancestor", "redirects")
+    }
+    kge = spark.read.parquet(f"{CORPUS}/kge")
+    wd = tempfile.mkdtemp(prefix=f"kgscale_{cpus}_")
+    t0 = time.time()
+    ctx = run_pipeline(spark, repos, kb, kge, wd, num_partitions=max(cpus * 2, 32))
+    wall = time.time() - t0
+    triples = ctx.ran[-1].rows_out
+    extracted = ctx.ran[0].rows_out
+    shutil.rmtree(wd, ignore_errors=True)
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "wall_s": round(wall, 2),
+        "emitted_triples": triples,
+        "extracted_assertions": extracted,
+        "triples_per_sec": round(triples / wall, 1),
+        "assertions_per_sec": round(extracted / wall, 1),
+    }
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--run":
+        print(json.dumps(run_once(int(sys.argv[2]))))
+        return
+
+    if not os.path.exists(f"{CORPUS}/repos"):
+        prepare_corpus()
+
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run", str(cpus)],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        print(f"local[{cpus}]: {results[cpus]}", file=sys.stderr)
+
+    eff = (results[32]["triples_per_sec"] / results[8]["triples_per_sec"]) / 4.0
+    report = {
+        "job": "kg_pipeline(extract->link->constrain->decide->canonicalize->materialize)",
+        "input_quads": QUADS,
+        "n_parallelism": results[8],
+        "4n_parallelism": results[32],
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+    }
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
