@@ -762,3 +762,142 @@ def extract_triples_docs_query(spark, sf_dir):
 
     repos = documents_as_repos(_t(spark, sf_dir, "documents"))
     return extract_triples(repos).select("subject", "predicate", "literal")
+
+
+# =========================================================================
+# Literal-canonicalization (typing) + sampling operators
+# =========================================================================
+
+@q(
+    "property_range_score",  # A6: P(class | property) over object entities
+    "WITH po AS (SELECT DISTINCT o_orderpriority AS predicate, o_custkey AS entity FROM orders), "
+    "tot AS (SELECT predicate, count(DISTINCT entity) AS total FROM po GROUP BY 1), "
+    "cnt AS (SELECT predicate, c_mktsegment AS class, count(DISTINCT entity) AS cnt "
+    "        FROM po JOIN customer ON c_custkey = entity GROUP BY 1, 2) "
+    "SELECT cnt.predicate, class, round(cnt * 1.0 / total + 1e-9, 6) AS score "
+    "FROM cnt JOIN tot ON cnt.predicate = tot.predicate",
+)
+def property_range_score_query(spark, sf_dir):
+    from .stages.typing import property_range_scores
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("s"),
+        F.col("o_orderpriority").alias("p"),
+        F.col("o_custkey").cast("string").alias("o"),
+    )
+    ec = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("entity"),
+        F.col("c_mktsegment").alias("class"),
+    )
+    out = property_range_scores(o, ec)
+    return out.select(
+        "predicate", "class", F.round(F.col("score") + 1e-9, 6).alias("score")
+    )
+
+
+@q(
+    "hierarchical_score_rollup",  # A8: Hscore = max over hierarchy descendants
+    "WITH scores AS ("
+    "  SELECT c_mktsegment AS seg, n_name AS class, "
+    "         round(avg(c_acctbal) + 1e-9, 6) AS score "
+    "  FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2), "
+    "hier AS (SELECT r_name AS class, n_name AS descendant "
+    "         FROM nation JOIN region ON n_regionkey = r_regionkey) "
+    "SELECT seg, h.class, max(s.score) AS hscore FROM scores s "
+    "JOIN hier h ON h.descendant = s.class GROUP BY 1, 2 "
+    "UNION ALL SELECT seg, class, score AS hscore FROM scores",
+)
+def hierarchical_score_rollup_query(spark, sf_dir):
+    from .stages.typing import hierarchical_rollup
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    scores = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("n_name").alias("class"))
+        .agg(F.round(F.avg("c_acctbal") + 1e-9, 6).alias("score"))
+    )
+    hier = n.join(r, n.n_regionkey == r.r_regionkey).select(
+        F.col("r_name").alias("class"), F.col("n_name").alias("descendant")
+    )
+    return hierarchical_rollup(scores, hier, ["seg"])
+
+
+@q(
+    "typed_entity_filter",  # J14: first candidate whose class matches
+    "WITH cand AS ("
+    "  SELECT l_orderkey AS okey, l_partkey AS part, "
+    "         row_number() OVER (PARTITION BY l_orderkey "
+    "             ORDER BY l_extendedprice DESC, l_linenumber, l_partkey) AS rank "
+    "  FROM lineitem) "
+    "SELECT okey, min_by(part, rank) AS picked FROM cand "
+    "JOIN part p ON p.p_partkey = cand.part AND p.p_type = 'ECONOMY' "
+    "GROUP BY okey",
+)
+def typed_entity_filter_query(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cand = topk_per_group(
+        li,
+        ["l_orderkey"],
+        [F.desc("l_extendedprice"), F.asc("l_linenumber"), F.asc("l_partkey")],
+        k=10**9,
+    ).select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part"), "rank")
+    typed = cand.join(
+        part.filter(F.col("p_type") == "ECONOMY").select(
+            F.col("p_partkey").alias("part")
+        ),
+        "part",
+        "left_semi",
+    )
+    return typed.groupBy("okey").agg(F.min_by("part", "rank").alias("picked"))
+
+
+@q(
+    "negative_sampling",  # M4/J13: deterministic corruption + anti-join
+    "WITH triples AS ("
+    "  SELECT DISTINCT l_orderkey::varchar AS s, 'has_supp' AS p, l_suppkey::varchar AS o "
+    "  FROM lineitem WHERE l_linenumber = 1), "
+    "pool AS (SELECT s_suppkey::varchar AS entity, "
+    "         row_number() OVER (ORDER BY s_suppkey::varchar) - 1 AS eid FROM supplier), "
+    "cand AS ("
+    "  SELECT t.s, t.p, pool.entity AS o, a.attempt FROM triples t "
+    "  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS attempt) a "
+    "  JOIN pool ON pool.eid = ("
+    "    ('0x' || substr(md5('0|' || t.s || chr(1) || t.p || chr(1) || t.o || chr(1) || a.attempt), 1, 8))::ubigint "
+    "    % (SELECT count(*) FROM pool)) ) "
+    "SELECT s, p, o, attempt FROM cand "
+    "WHERE NOT EXISTS (SELECT 1 FROM triples t2 "
+    "  WHERE t2.s = cand.s AND t2.p = cand.p AND t2.o = cand.o)",
+)
+def negative_sampling_query(spark, sf_dir):
+    from .stages.sampling import negative_samples
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    triples = li.select(
+        F.col("l_orderkey").cast("string").alias("s"),
+        F.lit("has_supp").alias("p"),
+        F.col("l_suppkey").cast("string").alias("o"),
+    ).distinct()
+    pool = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("entity")
+    )
+    return negative_samples(triples, pool, attempts=5)
+
+
+@q(
+    "block_topk_equivalence",  # W3: block-wise top-k == exact window top-k
+    "SELECT l_orderkey, l_linenumber, l_extendedprice, rank FROM ("
+    "  SELECT l_orderkey, l_linenumber, l_extendedprice, "
+    "         row_number() OVER (PARTITION BY l_orderkey "
+    "             ORDER BY l_extendedprice DESC, l_linenumber) AS rank "
+    "  FROM lineitem) WHERE rank <= 3",
+)
+def block_topk_equivalence_query(spark, sf_dir):
+    from .operators.topk import block_topk_per_group
+
+    li = _t(spark, sf_dir, "lineitem")
+    return block_topk_per_group(
+        li, ["l_orderkey"], [F.desc("l_extendedprice"), F.asc("l_linenumber")], 3
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "rank")

@@ -31,18 +31,22 @@ def topk_per_group(
 
 
 def block_topk_per_group(
-    df: DataFrame, group: list[str], score: str, k: int, rank_col: str = "rank"
+    df: DataFrame,
+    group: list[str],
+    order: list[Column],
+    k: int,
+    rank_col: str = "rank",
 ) -> DataFrame:
     """Two-level top-k: per-input-partition prune to k (map-side, no shuffle),
     then exact window on the survivors. Equivalent result, ~|groups|*k rows
     shuffled instead of all rows — the W3 'block-wise top-k' scale path.
+    ``order`` must be a total order within each group (same contract as
+    topk_per_group) or results are nondeterministic.
     """
-    pre = Window.partitionBy(F.spark_partition_id(), *group).orderBy(
-        F.desc(score), *[F.col(c) for c in group]
+    pre = Window.partitionBy(F.spark_partition_id(), *group).orderBy(*order)
+    pruned = (
+        df.withColumn("__r", F.row_number().over(pre))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
     )
-    pruned = df.withColumn("__r", F.row_number().over(pre)).filter(
-        F.col("__r") <= k
-    ).drop("__r")
-    return topk_per_group(
-        pruned, group, [F.desc(score)] + [F.col(c) for c in group], k, rank_col
-    )
+    return topk_per_group(pruned, group, order, k, rank_col)

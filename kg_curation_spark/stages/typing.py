@@ -1,0 +1,156 @@
+"""Entry point B — literal canonicalization: semantic typing of literals,
+then replacement by a typed entity (SURVEY.md §3.2).
+
+Re-expressed stages (all pure DataFrame ops):
+
+  candidate_classes   A7 (classes.py:39-54): candidate type pool per
+                      property = classes of p's objects UNION classes of
+                      the literal's candidate entities.
+  property_range_scores
+                      A6 (Baselines/property_range.py:40-54): score(c|p) =
+                      |{e in objects(p) : c in classes(e)}| / |objects(p)|.
+                      This is the reference's committed baseline scorer; the
+                      NN scorer (M7/M8) plugs into the same (s,p,l,class,
+                      score) contract via mapInPandas.
+  hierarchical_rollup A8 (typing.py:56-68): Hscore(c) = max(score(c),
+                      max over descendants d of score(d)).
+  independent_typing  typing.py:27-45: predicted types = {c : score >= iota}.
+  entity_replacement  J14 (entity_lookup.py:29-66): first (min-rank)
+                      candidate entity whose classes intersect the
+                      predicted types.
+  typing_prf          A9 (typing.py:43-52): mean precision/recall/F1 of
+                      predicted vs GT types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def candidate_classes(
+    assertions: DataFrame,
+    candidates: DataFrame,
+    kb_triples: DataFrame,
+    entity_class: DataFrame,
+) -> DataFrame:
+    """-> (predicate, class) candidate type pool per property (A7)."""
+    from ..functions.text import normalize_text
+
+    p_obj_classes = (
+        kb_triples.select(F.col("p").alias("predicate"), F.col("o").alias("entity"))
+        .distinct()
+        .join(entity_class, "entity")
+        .select("predicate", "class")
+    )
+    lit_cand_classes = (
+        assertions.withColumn("literal_norm", normalize_text("literal"))
+        .select("predicate", "literal_norm")
+        .distinct()
+        .join(candidates, "literal_norm")
+        .select("predicate", "entity")
+        .distinct()
+        .join(entity_class, "entity")
+        .select("predicate", "class")
+    )
+    return p_obj_classes.unionByName(lit_cand_classes).distinct()
+
+
+def property_range_scores(
+    kb_triples: DataFrame, entity_class: DataFrame
+) -> DataFrame:
+    """-> (predicate, class, score): P(c | p) over p's object entities (A6)."""
+    po = kb_triples.select(
+        F.col("p").alias("predicate"), F.col("o").alias("entity")
+    ).distinct()
+    totals = po.groupBy("predicate").agg(F.countDistinct("entity").alias("total"))
+    counts = (
+        po.join(entity_class, "entity")
+        .groupBy("predicate", "class")
+        .agg(F.countDistinct("entity").alias("cnt"))
+    )
+    return counts.join(totals, "predicate").select(
+        "predicate", "class", (F.col("cnt") / F.col("total")).alias("score")
+    )
+
+
+def hierarchical_rollup(
+    scores: DataFrame, class_descendant: DataFrame, keys: list[str]
+) -> DataFrame:
+    """A8: Hscore(c) = max(score(c), max over descendants). class_descendant
+    is (class, descendant) WITHOUT the identity pair (added here)."""
+    ident = class_descendant.select(F.col("class")).distinct().select(
+        "class", F.col("class").alias("descendant")
+    )
+    cd = class_descendant.unionByName(ident).distinct()
+    desc_scores = (
+        scores.withColumnRenamed("class", "descendant")
+        .join(cd, "descendant")
+        .groupBy(*keys, "class")
+        .agg(F.max("score").alias("hscore"))
+    )
+    # classes never appearing as a hierarchy node keep their own score
+    own = scores.join(
+        cd.select("class").distinct(), "class", "left_anti"
+    ).select(*keys, "class", F.col("score").alias("hscore"))
+    return desc_scores.unionByName(own)
+
+
+def independent_typing(
+    type_scores: DataFrame, keys: list[str], iota: float = 0.5
+) -> DataFrame:
+    """-> keys + (class): predicted types = score >= iota."""
+    return type_scores.filter(F.col("score") >= iota).select(*keys, "class")
+
+
+def entity_replacement(
+    assertions: DataFrame,
+    candidates: DataFrame,
+    entity_class: DataFrame,
+    predicted_types: DataFrame,
+) -> DataFrame:
+    """J14: per assertion, the min-rank candidate whose classes intersect
+    the predicted types of its (predicate) -> replacement entity."""
+    from ..functions.text import normalize_text
+
+    a = assertions.withColumn("literal_norm", normalize_text("literal"))
+    cand = a.join(candidates, "literal_norm")
+    typed = (
+        cand.join(entity_class, "entity")
+        .join(predicted_types, ["predicate", "class"], "left_semi")
+    )
+    return (
+        typed.groupBy("subject", "predicate", "literal")
+        .agg(F.min_by("entity", F.struct("rank", "entity")).alias("replacement"))
+    )
+
+
+def typing_prf(predicted: DataFrame, gt: DataFrame, keys: list[str]) -> DataFrame:
+    """A9: mean precision/recall/F1 of predicted type sets vs GT type sets.
+
+    predicted: keys + class; gt: keys + class. Rows with no prediction count
+    precision 0 (reference typing.py:43-52 semantics).
+    """
+    p_sets = predicted.groupBy(*keys).agg(
+        F.collect_set("class").alias("pred")
+    )
+    g_sets = gt.groupBy(*keys).agg(F.collect_set("class").alias("gold"))
+    j = g_sets.join(p_sets, keys, "left").select(
+        *keys,
+        F.coalesce("pred", F.array().cast("array<string>")).alias("pred"),
+        "gold",
+    )
+    inter = F.size(F.array_intersect("pred", "gold")).cast("double")
+    prec = F.when(F.size("pred") > 0, inter / F.size("pred")).otherwise(0.0)
+    rec = F.when(F.size("gold") > 0, inter / F.size("gold")).otherwise(0.0)
+    per = j.select(
+        *keys,
+        prec.alias("p"),
+        rec.alias("r"),
+        F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0).alias("f1"),
+    )
+    return per.agg(
+        F.avg("p").alias("mean_precision"),
+        F.avg("r").alias("mean_recall"),
+        F.avg("f1").alias("mean_f1"),
+    )

@@ -299,3 +299,61 @@ def build_kge(quads_pd, dim: int = 16, seed: int = 42):
         columns=["id", "kind", "vec"],
     )
     return out
+
+
+def build_kge_spark(quads: DataFrame, dim: int = 16, seed: int = 42) -> DataFrame:
+    """Distributed version of build_kge: same contract (id, kind, vec),
+    hash-seeded unit vectors computed in an Arrow pandas UDF, gt vectors
+    placed at s + r (+ eps) via joins — no driver-side loop, scales with
+    the quad count. Used by the scaling benchmark; tests use the pandas
+    variant for tiny fixtures.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, FloatType
+
+    @pandas_udf(ArrayType(FloatType()))
+    def hash_vec(key: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        out = []
+        for k in key:
+            h = hashlib.sha256(f"{seed}|{k}".encode()).digest()
+            rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+            v = rng.standard_normal(dim)
+            out.append((v / max(np.linalg.norm(v), 1e-9)).astype("float32"))
+        return pd.Series(out)
+
+    subs = quads.select(F.col("subject").alias("id")).distinct().withColumn(
+        "vec", hash_vec(F.concat(F.lit("e|"), F.col("id")))
+    )
+    rels = quads.select(F.col("predicate").alias("id")).distinct().withColumn(
+        "vec", hash_vec(F.concat(F.lit("r|"), F.col("id")))
+    )
+    # gt entity vector = subject_vec + relation_vec + 0.01 * noise(gt)
+    ann = quads.filter(F.col("gt_entity") != "").select(
+        "subject", "predicate", "gt_entity"
+    ).distinct()
+    gt = (
+        ann.join(subs.withColumnRenamed("id", "subject").withColumnRenamed("vec", "sv"), "subject")
+        .join(rels.withColumnRenamed("id", "predicate").withColumnRenamed("vec", "rv"), "predicate")
+        .withColumn("nv", hash_vec(F.concat(F.lit("n|"), F.col("gt_entity"))))
+        .select(
+            F.col("gt_entity").alias("id"),
+            F.zip_with(
+                F.zip_with("sv", "rv", lambda a, b: a + b),
+                "nv",
+                lambda ab, n: (ab + n * F.lit(0.01)).cast("float"),
+            ).alias("vec"),
+        )
+        # a gt entity can be target of several (s,p): keep the lexicographic
+        # min vector (arrays order element-wise) — deterministic
+        .groupBy("id").agg(F.min("vec").alias("vec"))
+    )
+    # gt vectors take precedence over plain subject-hash vectors
+    ents = subs.join(gt, "id", "left_anti").unionByName(gt)
+    return ents.withColumn("kind", F.lit("e")).select("id", "kind", "vec").unionByName(
+        rels.withColumn("kind", F.lit("r")).select("id", "kind", "vec")
+    )

@@ -1,0 +1,77 @@
+"""Negative sampling (M4/J13) + dictionary encoding (S10) + encoders (M1/M3)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from kg_curation_spark.functions.encode import label_encode, rdf2vec_encode
+from kg_curation_spark.stages.sampling import dictionary_encode, negative_samples
+
+
+def test_dictionary_encode_dense_deterministic(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("c",), ("a",)], "x string")
+    out = {r["x"]: r["id"] for r in dictionary_encode(df, "x").collect()}
+    assert out == {"a": 0, "b": 1, "c": 2}
+
+
+def test_negative_samples_reject_existing_and_are_deterministic(spark):
+    triples = spark.createDataFrame(
+        [("s1", "p", "e1"), ("s2", "p", "e2"), ("s3", "p", "e3")],
+        "s string, p string, o string",
+    )
+    pool = spark.createDataFrame(
+        [("e1",), ("e2",), ("e3",), ("e4",), ("e5",)], "entity string"
+    )
+    a = negative_samples(triples, pool, attempts=5).collect()
+    b = negative_samples(triples, pool, attempts=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    real = {("s1", "p", "e1"), ("s2", "p", "e2"), ("s3", "p", "e3")}
+    assert all((r["s"], r["p"], r["o"]) not in real for r in a)  # J13
+    assert len(a) > 0
+
+
+def test_label_encode_shape_and_zeros(spark):
+    triples = spark.createDataFrame(
+        [("http://x/Some_Subject", "http://x/birthPlace", "paris")],
+        "subject string, predicate string, literal string",
+    )
+    wv = spark.createDataFrame(
+        [("some", [1.0, 0.0]), ("subject", [0.0, 1.0]),
+         ("birth", [0.5, 0.5]), ("place", [0.25, 0.75]), ("paris", [1.0, 1.0])],
+        "word string, vec array<float>",
+    )
+    out = label_encode(triples, wv, dim=2, seq_lens=(3, 2, 2)).first()
+    feat = out["feature"]
+    assert len(feat) == (3 + 2 + 2) * 2
+    # subject tokens: some, subject, <pad> -> [1,0, 0,1, 0,0]
+    assert feat[:6] == [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+    # literal tokens: paris, <pad>
+    assert feat[10:14] == [1.0, 1.0, 0.0, 0.0]
+
+
+def test_rdf2vec_encode_onehot_and_missing_vec(spark):
+    triples = spark.createDataFrame(
+        [("e1", "pa", "e2"), ("e1", "pb", "eX")],
+        "subject string, predicate string, object string",
+    )
+    vecs = spark.createDataFrame(
+        [("e1", [1.0, 2.0]), ("e2", [3.0, 4.0])], "id string, vec array<float>"
+    )
+    rows = {r["predicate"]: r["feature"]
+            for r in rdf2vec_encode(triples, vecs, 2, ["pa", "pb"]).collect()}
+    assert rows["pa"] == [1.0, 0.0, 1.0, 2.0, 3.0, 4.0]
+    assert rows["pb"] == [0.0, 1.0, 1.0, 2.0, 0.0, 0.0]  # missing obj -> zeros
+
+
+def test_class_disjoint_pool(spark):
+    from kg_curation_spark.stages.sampling import class_disjoint_pool
+
+    ec = spark.createDataFrame(
+        [("e1", "c:City"), ("e2", "c:Capital"), ("e3", "c:Team"), ("e4", "c:Song")],
+        "entity string, class string",
+    )
+    cj = spark.createDataFrame(
+        [("c:City", "c:Capital")], "class string, joint_class string"
+    )
+    pool = {r["entity"] for r in class_disjoint_pool(ec, cj, "c:City").collect()}
+    assert pool == {"e3", "e4"}  # e1 is the class itself, e2 is joint

@@ -22,7 +22,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-QUADS = int(os.environ.get("KG_SCALE_QUADS", "60000"))
+QUADS = int(os.environ.get("KG_SCALE_QUADS", "2000000"))
 CORPUS = os.environ.get("KG_SCALE_CORPUS", "/tmp/kg_scale_corpus")
 
 
@@ -34,16 +34,13 @@ def prepare_corpus() -> None:
     spark = get_spark(app_name="kgcs-scale-prep", parallelism=32)
     spark.sparkContext.setLogLevel("ERROR")
     quads = synth.synthetic_quads(spark, QUADS)
-    synth.render_corpus(quads, files_per_repo=400).write.mode("overwrite").parquet(
+    synth.render_corpus(quads, files_per_repo=4000).write.mode("overwrite").parquet(
         f"{CORPUS}/repos"
     )
     kb = synth.build_kb(spark, quads)
     for name, df in kb.items():
         df.write.mode("overwrite").parquet(f"{CORPUS}/{name}")
-    kge = spark.createDataFrame(
-        synth.build_kge(quads.toPandas()), "id string, kind string, vec array<float>"
-    )
-    kge.write.mode("overwrite").parquet(f"{CORPUS}/kge")
+    synth.build_kge_spark(quads).write.mode("overwrite").parquet(f"{CORPUS}/kge")
     spark.stop()
 
 
@@ -71,6 +68,7 @@ def run_once(cpus: int) -> dict:
     spark.stop()
     return {
         "cpus": cpus,
+        "stage_walls": {r.name: round(r.wall_s, 1) for r in ctx.ran},
         "wall_s": round(wall, 2),
         "emitted_triples": triples,
         "extracted_assertions": extracted,
