@@ -154,3 +154,27 @@ def typing_prf(predicted: DataFrame, gt: DataFrame, keys: list[str]) -> DataFram
         F.avg("r").alias("mean_recall"),
         F.avg("f1").alias("mean_f1"),
     )
+
+
+def induce_class_hierarchy(entity_class: DataFrame, min_support: int = 5) -> DataFrame:
+    """-> (class, descendant): c is an ancestor of d when every entity of d
+    also has c (subsumption induced from co-occurrence — gives the rollup a
+    hierarchy when no ontology table ships with the data; the reference
+    loads the same relation from its class_descendant.json cache).
+    min_support guards against tiny classes producing spurious edges."""
+    ec = entity_class.select("entity", "class").distinct()
+    sizes = ec.groupBy("class").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        ec.alias("a")
+        .join(ec.alias("b"), F.col("a.entity") == F.col("b.entity"))
+        .filter(F.col("a.class") != F.col("b.class"))
+        .groupBy(
+            F.col("b.class").alias("class"), F.col("a.class").alias("descendant")
+        )
+        .agg(F.count(F.lit(1)).alias("both"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("class", "descendant"), "descendant")
+        .filter((F.col("both") == F.col("n")) & (F.col("n") >= min_support))
+        .select("class", "descendant")
+    )

@@ -30,6 +30,7 @@ import io
 import math
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -308,7 +309,6 @@ def build_kge_spark(quads: DataFrame, dim: int = 16, seed: int = 42) -> DataFram
     the quad count. Used by the scaling benchmark; tests use the pandas
     variant for tiny fixtures.
     """
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, FloatType
 
