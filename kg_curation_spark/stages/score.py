@@ -76,9 +76,14 @@ def attach_features(
         .drop("__n")
     )
 
-    # Embedding attach (J10): broadcast dimension joins, zeros for missing
-    evec = F.broadcast(kge.filter(F.col("kind") == "e").select("id", "vec"))
-    rvec = F.broadcast(kge.filter(F.col("kind") == "r").select("id", "vec"))
+    # Embedding attach (J10): dimension joins, zeros for missing. No forced
+    # broadcast — the entity-vector table grows with the corpus (millions of
+    # rows at scale), and a forced broadcast serializes a huge hash-relation
+    # build on the driver; AQE picks broadcast automatically when the side
+    # is actually small. The relation-vector side stays tiny, but the same
+    # rule applies.
+    evec = kge.filter(F.col("kind") == "e").select("id", "vec")
+    rvec = kge.filter(F.col("kind") == "r").select("id", "vec")
     cand = (
         cand.join(evec.withColumnRenamed("id", "subject").withColumnRenamed("vec", "s_vec"), "subject", "left")
         .join(rvec.withColumnRenamed("id", "predicate").withColumnRenamed("vec", "r_vec"), "predicate", "left")
