@@ -29,7 +29,10 @@ def documents_as_repos(documents: DataFrame) -> DataFrame:
     line2 = F.format_string(
         'KG: <%sdoc_%d> <%slang> "%s" .', F.lit(NS), "doc_id", F.lit(NP), "lang"
     )
-    return documents.select(
+    # documents ships as one parquet file -> one input split; spread it so
+    # the downstream Arrow extraction UDF runs on every core
+    spread = documents.repartition(64, "doc_id")
+    return spread.select(
         F.concat(F.lit("corpus/"), "source").alias("repo"),
         F.format_string("docs/%06d.txt", "doc_id").alias("path"),
         F.sha2(F.format_string("%d", "doc_id"), 256).substr(1, 40).alias("commit"),

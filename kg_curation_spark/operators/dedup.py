@@ -38,15 +38,32 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 def shingle_table(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, char_level: bool = False
 ) -> DataFrame:
-    """-> (id, shingle) distinct word-k-gram (or char-k) shingles."""
-    sh = (
-        char_shingles(F.col(text_col), k)
-        if char_level
-        else F.array_distinct(word_ngrams(tokenize(text_col), k))
-    )
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(sh).alias("shingle")
-    ).distinct()
+    """-> (id, shingle) distinct word-k-gram (or char-k) shingles.
+
+    The token array / normalized text is materialized into a column BEFORE
+    the n-gram transform: Catalyst does not eliminate common subexpressions
+    inside higher-order-function lambdas, so inlining tokenize() there
+    re-runs the whole regex chain once per n-gram index (O(len^2) — measured
+    10 s for 5000 docs before this fix, <1 s after)."""
+    if char_level:
+        base = df.select(
+            F.col(id_col).alias("id"), normalize_text(text_col).alias("__nt")
+        )
+        sh = F.when(
+            F.length("__nt") >= k,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("__nt") - (k - 1)),
+                    lambda i: F.col("__nt").substr(i, F.lit(k)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        base = df.select(
+            F.col(id_col).alias("id"), tokenize(text_col).alias("__toks")
+        )
+        sh = F.array_distinct(word_ngrams(F.col("__toks"), k))
+    return base.select("id", F.explode(sh).alias("shingle")).distinct()
 
 
 def minhash_signatures(
@@ -97,9 +114,16 @@ def lsh_candidate_pairs(
             ).alias("bucket")
         )
     )
-    sized = buckets.withColumn(
-        "bsize", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-    ).filter(F.col("bsize") <= max_bucket)
+    # bucket-size gate as an aggregate + semi-join (cheaper than a window:
+    # no per-bucket sort); singleton buckets are pruned too — they cannot
+    # produce pairs, and they are the vast majority of buckets.
+    ok_buckets = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bsize"))
+        .filter((F.col("bsize") >= 2) & (F.col("bsize") <= max_bucket))
+        .select("band", "bucket")
+    )
+    sized = buckets.join(ok_buckets, ["band", "bucket"], "left_semi")
     a = sized.select("band", "bucket", F.col("id").alias("id_a"))
     b = sized.select("band", "bucket", F.col("id").alias("id_b"))
     return (

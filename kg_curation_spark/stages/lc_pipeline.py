@@ -143,3 +143,69 @@ def run_lc_pipeline(
         "replacement_accuracy": correct / n if n else 0.0,
         "n_assertions": n,
     }
+
+
+RLITE_DIR = "/root/reference/Literal_Canonicalization/Data/R-Lite"
+
+
+def load_rlite(spark: SparkSession, data_dir: str = RLITE_DIR):
+    """-> (quads, gt_types) from the R-Lite fixture: real literals with GT
+    DBO types keyed by 's p l' (RData_Clean.csv + RData_Type.json)."""
+    import csv as _csv
+    import json as _json
+
+    with open(f"{data_dir}/RData_Clean.csv", encoding="utf-8") as f:
+        rows = [tuple(r[:3]) for r in _csv.reader(f) if len(r) >= 3]
+    quads = spark.createDataFrame(
+        rows, "subject string, predicate string, literal string"
+    )
+    with open(f"{data_dir}/RData_Type.json", encoding="utf-8") as f:
+        tmap = _json.load(f)
+    gt = spark.createDataFrame(
+        [(k, c) for k, cs in tmap.items() for c in cs], "key string, class string"
+    )
+    return quads, gt
+
+
+def run_rlite_typing(
+    spark: SparkSession,
+    quads: DataFrame,
+    gt_types: DataFrame,
+    iota: float = 0.3,
+) -> dict:
+    """Leave-one-out property-prior typing on R-Lite (the honest variant of
+    the reference's PropertyRange baseline: each row is scored from the
+    OTHER rows of its property — no self-leakage). Returns mean P/R/F1.
+    """
+    from .typing import independent_typing, typing_prf
+
+    q = quads.withColumn(
+        "key", F.concat_ws(" ", "subject", "predicate", "literal")
+    )
+    gtk = q.join(gt_types, "key").select("key", "predicate", "class")
+
+    n_p = (
+        gtk.select("key", "predicate").distinct()
+        .groupBy("predicate").agg(F.count(F.lit(1)).alias("n"))
+    )
+    cnt = gtk.groupBy("predicate", "class").agg(
+        F.countDistinct("key").alias("cnt")
+    )
+    has = gtk.select("key", "class").withColumn("has", F.lit(1))
+    loo = (
+        q.select("key", "predicate")
+        .join(cnt, "predicate")
+        .join(n_p, "predicate")
+        .join(has, ["key", "class"], "left")
+        .fillna({"has": 0})
+        .withColumn(
+            "score",
+            F.when(
+                F.col("n") > 1,
+                (F.col("cnt") - F.col("has")) / (F.col("n") - 1),
+            ).otherwise(0.0),
+        )
+    )
+    pred = independent_typing(loo.select("key", "class", "score"), ["key"], iota=iota)
+    prf = typing_prf(pred, gtk.select("key", "class"), ["key"]).first()
+    return {"prf": prf, "n_assertions": q.count()}

@@ -100,9 +100,20 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFr
     """-> (id, fingerprint): min char-k-gram hash over normalized text —
     a 1-hash MinHash, the winnowing-style content fingerprint. Empty or
     too-short text -> hash of the normalized text itself."""
-    sh = char_shingles(F.col(text_col), k)
-    min_hash = F.array_min(F.transform(sh, lambda s: stable_hash32(s)))
-    fp = F.when(F.size(sh) > 0, min_hash).otherwise(
-        stable_hash32(normalize_text(text_col))
+    # normalized text materialized first (no CSE inside HOF lambdas)
+    base = df.select(
+        F.col(id_col).alias("id"), normalize_text(text_col).alias("__nt")
     )
-    return df.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
+    sh = F.when(
+        F.length("__nt") >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length("__nt") - (k - 1)),
+                lambda i: F.col("__nt").substr(i, F.lit(k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = base.withColumn("__sh", sh)
+    min_hash = F.array_min(F.transform("__sh", lambda s: stable_hash32(s)))
+    fp = F.when(F.size("__sh") > 0, min_hash).otherwise(stable_hash32(F.col("__nt")))
+    return base.select("id", fp.alias("fingerprint"))
