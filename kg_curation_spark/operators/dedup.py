@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import char_shingles, normalize_text, stable_hash32, tokenize, word_ngrams
+from ..functions.text import normalize_text, stable_hash32, tokenize, word_ngrams
 
 
 def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:

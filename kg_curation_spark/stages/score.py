@@ -45,6 +45,14 @@ MODEL_W = np.array([1.2, 2.2, 0.3, 1.5, -3.4], dtype="float64")
 
 MODEL_FEATURES = ["lex_score", "link_feat", "node_feat", "emb_score"]
 
+# Dimension tables up to this many rows get an explicit broadcast hint.
+# Budget rationale: at dim 16 float32 a row is ~64 B + overhead, so 10M rows
+# ~ 0.6-1 GB — the upper bound of what production clusters ship as a
+# broadcast (embedding tables are routinely broadcast at this size); beyond
+# it the join falls back to shuffle. A bytes-based budget (rows x dim x 4)
+# is the production refinement.
+BROADCAST_MAX_ROWS = 10_000_000
+
 
 def attach_features(
     assertions: DataFrame,
@@ -76,14 +84,16 @@ def attach_features(
         .drop("__n")
     )
 
-    # Embedding attach (J10): dimension joins, zeros for missing. No forced
-    # broadcast — the entity-vector table grows with the corpus (millions of
-    # rows at scale), and a forced broadcast serializes a huge hash-relation
-    # build on the driver; AQE picks broadcast automatically when the side
-    # is actually small. The relation-vector side stays tiny, but the same
-    # rule applies.
+    # Embedding attach (J10): dimension joins, zeros for missing. The
+    # entity-vector side grows with the corpus, so broadcast is gated on an
+    # explicit row budget (a 1000-executor cluster cannot ship a multi-GB
+    # hash relation everywhere); under the budget the broadcast hint saves
+    # the shuffle. AQE still auto-broadcasts when post-UDF stats are known.
     evec = kge.filter(F.col("kind") == "e").select("id", "vec")
     rvec = kge.filter(F.col("kind") == "r").select("id", "vec")
+    if evec.limit(BROADCAST_MAX_ROWS + 1).count() <= BROADCAST_MAX_ROWS:
+        evec = F.broadcast(evec)
+    rvec = F.broadcast(rvec)  # relation vocabulary is always small
     cand = (
         cand.join(evec.withColumnRenamed("id", "subject").withColumnRenamed("vec", "s_vec"), "subject", "left")
         .join(rvec.withColumnRenamed("id", "predicate").withColumnRenamed("vec", "r_vec"), "predicate", "left")

@@ -26,8 +26,6 @@ from __future__ import annotations
 
 import csv
 import hashlib
-import io
-import math
 
 import numpy as np
 import pandas as pd
@@ -152,10 +150,6 @@ def render_corpus(
 
 # ---------------------------------------------------------------------------
 # KB side tables (derived from quads, deterministic)
-
-
-def _localname(uri: str) -> str:
-    return uri.rsplit("/", 1)[-1].rsplit("#", 1)[-1]
 
 
 def build_kb(spark: SparkSession, quads: DataFrame, seed: int = 42) -> dict[str, DataFrame]:

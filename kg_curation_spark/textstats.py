@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .functions.text import char_shingles, normalize_text, stable_hash32, tokenize
+from .functions.text import normalize_text, stable_hash32, tokenize
 
 LANG_MARKERS = {
     "en": ["the", "and", "of", "a", "is"],
