@@ -498,7 +498,7 @@ def lsh_candidate_pairs_query(spark, sf_dir):
     "bits AS (SELECT id, bit, CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS c "
     "         FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit)), "
     "s AS (SELECT id, bit, sum(c) AS s FROM bits GROUP BY 1, 2) "
-    "SELECT id, sum(CASE WHEN s > 0 THEN (1::bigint << bit) ELSE 0 END) AS simhash "
+    "SELECT id, sum(CASE WHEN s > 0 THEN (1::bigint << bit) ELSE 0 END)::BIGINT AS simhash "
     "FROM s GROUP BY id",
 )
 def simhash_query(spark, sf_dir):
@@ -617,7 +617,43 @@ def cosine_topk_query(spark, sf_dir):
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
-@q("lsh_cosine_topk")  # approximate ANN — no SQL oracle (hyperplane LSH)
+# Full oracle for the approximate query: the +/-1 hyperplanes are md5-bit
+# derived (operators/ann.py:_hyperplanes), so DuckDB re-derives the IDENTICAL
+# planes, signatures, multi-probe buckets, candidate set, and exact cosine
+# re-rank — the approximate op becomes exactly value-checkable.
+_LSH_ORACLE = (
+    "WITH planes AS ("
+    "  SELECT t.tbl, p.plane, list_transform(range(1, 65), i -> "
+    "    CASE WHEN (('0x' || substr(md5((42 + 1000 * t.tbl)::varchar || '|plane' || p.plane::varchar "
+    "      || '|block0'), 1, 16))::ubigint >> (i - 1)) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS w "
+    "  FROM (SELECT unnest(generate_series(0, 3)) AS tbl) t "
+    "  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS plane) p), "
+    "bits AS ("
+    "  SELECT e.vec_id, pl.tbl, pl.plane, "
+    "    CASE WHEN list_sum(list_transform(range(1, 65), i -> e.embedding[i]::double * pl.w[i])) >= 0 "
+    "      THEN (1::bigint << pl.plane) ELSE 0 END AS bit "
+    "  FROM embeddings e CROSS JOIN planes pl), "
+    "sig AS (SELECT vec_id, tbl, sum(bit)::bigint AS bucket FROM bits GROUP BY 1, 2), "
+    "probes AS ("
+    "  SELECT s.vec_id AS query_id, s.tbl, xor(s.bucket, pb.pb) AS bucket "
+    "  FROM sig s CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS pb) pb WHERE s.vec_id < 10), "
+    "cand AS ("
+    "  SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id "
+    "  FROM probes p JOIN sig s ON s.tbl = p.tbl AND s.bucket = p.bucket "
+    "  WHERE s.vec_id <> p.query_id), "
+    "scored AS ("
+    "  SELECT c.query_id, c.neighbor_id, round(" + _DOT64 + " / ("
+    + _NORM.format(v="a") + " * " + _NORM.format(v="b") + ") + 1e-12, 6) AS cosine "
+    "  FROM cand c JOIN embeddings a ON a.vec_id = c.query_id "
+    "  JOIN embeddings b ON b.vec_id = c.neighbor_id) "
+    "SELECT query_id, neighbor_id, cosine, rank FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY query_id "
+    "      ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) "
+    "WHERE rank <= 5"
+)
+
+
+@q("lsh_cosine_topk", _LSH_ORACLE)  # hyperplane LSH ANN, exact re-rank
 def lsh_cosine_topk_query(spark, sf_dir):
     from .operators.ann import lsh_cosine_topk
 
@@ -647,6 +683,30 @@ def transe_pair_score_query(spark, sf_dir):
         .select(
             "h", "t",
             F.round(transe_score("hv", "rv", "tv") + 1e-9, 4).alias("score"),
+        )
+    )
+
+
+@q(
+    "distmult_pair_score",  # F9: DistMult plausibility (r = ones vec)
+    "SELECT a.vec_id AS h, b.vec_id AS t, "
+    "  round(1.0 / (1.0 + exp(-list_sum(list_transform(range(1, 65), "
+    "    i -> a.embedding[i]::double * b.embedding[i]::double)))) + 1e-9, 4) AS score "
+    "FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 250",
+)
+def distmult_pair_score_query(spark, sf_dir):
+    from .functions.scoring import distmult_score
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("h"), F.col("embedding").alias("hv"))
+    b = emb.select(F.col("vec_id").alias("t"), F.col("embedding").alias("tv"))
+    ones = F.array_repeat(F.lit(1.0).cast("float"), 64)
+    return (
+        a.join(b, F.col("t") == F.col("h") + 250)
+        .withColumn("rv", ones)
+        .select(
+            "h", "t",
+            F.round(distmult_score("hv", "rv", "tv") + 1e-9, 4).alias("score"),
         )
     )
 

@@ -44,7 +44,7 @@ def transe_score(s: pd.Series, r: pd.Series, o: pd.Series) -> pd.Series:
 def distmult_score(s: pd.Series, r: pd.Series, o: pd.Series) -> pd.Series:
     dim = next((len(v) for v in s if v is not None), 16)
     sv, rv, ov = _stack(s, dim), _stack(r, dim), _stack(o, dim)
-    x = (sv * rv * ov).sum(axis=1)
+    x = (sv.astype("float64") * rv * ov).sum(axis=1)
     return pd.Series(1.0 / (1.0 + np.exp(-x)))
 
 

@@ -73,15 +73,23 @@ def brute_force_cosine_topk(
 
 
 def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
-    """Deterministic +/-1 hyperplanes from a seeded hash — no RNG state to
-    ship to executors, reproducible across runs/cluster sizes."""
+    """Deterministic +/-1 hyperplanes straight from md5 bits — no RNG state
+    to ship to executors, reproducible across runs/cluster sizes, AND
+    reproducible in ANSI SQL (the DuckDB oracle re-derives the identical
+    planes from md5, so the approximate query gets an exact value check).
+
+    Bit i (0-indexed within a 64-dim block) of
+    ``int(md5(f"{seed}|plane{p}|block{b}")[:16], 16)`` -> +1 if set else -1.
+    """
     import hashlib
 
     rows = []
     for p in range(n_planes):
-        h = hashlib.sha256(f"{seed}|plane{p}".encode()).digest()
-        rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
-        rows.append(np.where(rng.standard_normal(dim) >= 0, 1.0, -1.0))
+        vals = []
+        for b in range((dim + 63) // 64):
+            h = int(hashlib.md5(f"{seed}|plane{p}|block{b}".encode()).hexdigest()[:16], 16)
+            vals.extend(1.0 if (h >> i) & 1 else -1.0 for i in range(64))
+        rows.append(np.array(vals[:dim]))
     return np.stack(rows)
 
 

@@ -20,8 +20,12 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import itertools
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+_obs_seq = itertools.count()
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -54,19 +58,25 @@ def connected_components(
         .join(nodes, "name")
         .select("u", F.col("nid").alias("v"))
     )
-    g = _symmetrize(e).repartition(num_partitions, "u").localCheckpoint()
+    def _checkpoint_with_sig(df):
+        """Materialize one round AND collect its edge-set signature in the
+        SAME job: the signature is an Observation on the checkpointed plan,
+        so convergence costs zero extra Spark jobs per round. bit_xor is
+        overflow-free under ANSI mode and edges are distinct (no xor
+        cancellation), so (xor of xxhash64, count) identifies the edge set
+        order-insensitively."""
+        obs = Observation(f"cc_sig_{next(_obs_seq)}")
+        out = df.observe(
+            obs,
+            F.bit_xor(F.xxhash64("u", "v")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).localCheckpoint()
+        m = obs.get
+        return out, (m["s"], m["n"])
 
-    def _sig(df):
-        # order-insensitive edge-set signature; bit_xor is overflow-free
-        # under ANSI mode and edges are distinct (no xor cancellation)
-        return tuple(
-            df.agg(
-                F.bit_xor(F.xxhash64("u", "v")).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            ).first()
-        )
-
-    sig_old = _sig(g)
+    g, sig_old = _checkpoint_with_sig(
+        _symmetrize(e).repartition(num_partitions, "u")
+    )
     for _ in range(max_iter):
         # large-star: connect every neighbor v>u to m = min(N(u) ∪ {u})
         nbr_min = g.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
@@ -86,11 +96,10 @@ def connected_components(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(smin.select(F.col("u"), F.col("m").alias("v")))
         )
-        g_new = _symmetrize(small).repartition(num_partitions, "u").localCheckpoint()
-
-        # convergence check: one cheap agg per round (signature of the
-        # previous round is carried over, not recomputed)
-        sig_new = _sig(g_new)
+        # one job per round: checkpoint + fused signature observation
+        g_new, sig_new = _checkpoint_with_sig(
+            _symmetrize(small).repartition(num_partitions, "u")
+        )
         g = g_new
         if sig_new == sig_old:
             break
