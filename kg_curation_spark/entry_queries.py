@@ -508,11 +508,13 @@ def simhash_query(spark, sf_dir):
 
 
 @q(
-    "ngram_jaccard_pairs",  # near-dup pairs by shingle Jaccard
+    "ngram_jaccard_pairs",  # near-dup pairs by shingle Jaccard, df-capped
     _SHINGLES_SQL
-    + ", sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id), "
-    "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i FROM sh a "
-    "          JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2) "
+    + ", shf AS (SELECT id, shingle FROM sh WHERE shingle IN "
+    "    (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000)), "
+    "sizes AS (SELECT id, count(*) AS n FROM shf GROUP BY id), "
+    "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i FROM shf a "
+    "          JOIN shf b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2) "
     "SELECT id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard "
     "FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b "
     "WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2",

@@ -13,13 +13,8 @@ rdf2vec_encode — M3 (util_encode.py:241-262): one_hot(p) ++ vec(s) ++
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
 
 from .text import localname_to_text, pad_tokens, tokenize, uri_localname
 
@@ -36,6 +31,12 @@ def label_encode(
 
     Reference seq-len defaults 12,4,15 (predict.py:52). Unknown / pad
     tokens encode as zero vectors (util_wv.py:40-55 'NaN' handling).
+
+    Fully distributed: tokens posexplode and equi-join the word-vector
+    TABLE (Catalyst broadcasts it when small, shuffle-joins it when the
+    vocabulary is billions of rows — no driver collect, no closure-shipped
+    dict), then the flat feature assembles with one ordered
+    collect_list/flatten. Stays JVM-side end to end.
     """
     ls, lp, ll = seq_lens
     toks = (
@@ -45,29 +46,32 @@ def label_encode(
             pad_tokens(tokenize(F.col("literal")), ll),
         )
     )
-    with_toks = triples.withColumn("__toks", toks)
-
-    wv = {r["word"]: np.asarray(r["vec"], dtype="float32")
-          for r in word_vectors.collect()}
-    zeros = np.zeros(dim, dtype="float32")
-    total = ls + lp + ll
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            mats = np.zeros((len(pdf), total * dim), dtype="float32")
-            for i, seq in enumerate(pdf["__toks"]):
-                mats[i] = np.concatenate(
-                    [wv.get(t, zeros) for t in seq]
-                )
-            out = pdf.drop(columns=["__toks"])
-            out["feature"] = list(mats)
-            yield out
-
-    schema = StructType(
-        [f for f in with_toks.schema.fields if f.name != "__toks"]
-        + [StructField("feature", ArrayType(FloatType()))]
+    with_toks = (
+        triples.withColumn("__toks", toks)
+        .withColumn("__rid", F.monotonically_increasing_id())
     )
-    return with_toks.mapInPandas(run, schema=schema)
+
+    zeros = F.array_repeat(F.lit(0.0).cast("float"), dim)
+    wv = word_vectors.select(
+        F.col("word").alias("__word"), F.col("vec").alias("__vec")
+    )
+    features = (
+        with_toks.select(
+            "__rid", F.posexplode("__toks").alias("__pos", "__word")
+        )
+        .join(wv, "__word", "left")
+        .select("__rid", "__pos", F.coalesce("__vec", zeros).alias("__v"))
+        .groupBy("__rid")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__v"))),
+                    lambda x: x["__v"],
+                )
+            ).alias("feature")
+        )
+    )
+    return with_toks.join(features, "__rid").drop("__toks", "__rid")
 
 
 def rdf2vec_encode(

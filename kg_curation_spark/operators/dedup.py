@@ -166,14 +166,26 @@ def simhash64(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> Data
 
 
 def ngram_jaccard_pairs(
-    shingles: DataFrame, tau: float = 0.5
+    shingles: DataFrame, tau: float = 0.5, max_shingle_df: int | None = 1000
 ) -> DataFrame:
     """(id, shingle) -> (id_a, id_b, jaccard) for pairs with J >= tau.
 
     Inverted-index self-join on the shingle (equi-join — never a cross
-    join); shingle frequency is the skew axis, handled upstream by
-    dropping ultra-common shingles if needed.
+    join). Shingle document frequency is the skew axis: a boilerplate
+    shingle shared by 1M docs would make the self-join quadratic, so
+    shingles with df > max_shingle_df are dropped IN-operator (stopword
+    semantics — removed from both the index and the set sizes, so jaccard
+    stays internally consistent), mirroring lsh_candidate_pairs'
+    max_bucket cap. Pass None to disable.
     """
+    if max_shingle_df is not None:
+        hot = (
+            shingles.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        shingles = shingles.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.select(F.col("id").alias("id_a"), "shingle")
     b = shingles.select(F.col("id").alias("id_b"), "shingle")

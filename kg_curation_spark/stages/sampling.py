@@ -21,18 +21,46 @@ from pyspark.sql import functions as F
 from ..functions.text import stable_hash32
 
 
-def dictionary_encode(df: DataFrame, col: str, id_col: str = "id") -> DataFrame:
+def dictionary_encode(
+    df: DataFrame, col: str, id_col: str = "id", num_partitions: int | None = None
+) -> DataFrame:
     """-> (col, id) dense ids 0..n-1 ordered by value (deterministic).
 
-    NOTE: the global row_number window funnels through one task — fine for
-    dimension-sized vocabularies (entities/relations); for billion-row
-    vocabularies use zipWithIndex-style per-partition offsets instead.
+    Scale-safe: range-partition the distinct values, rank WITHIN each
+    partition (parallel window — every partition is its own window group),
+    then add the cumulative partition offsets (a tiny #partitions-row
+    broadcast). No global-ordering window — nothing funnels through one
+    task, so a billion-row entity vocabulary encodes at full parallelism.
+    Output ids are value-ordered and dense regardless of where the range
+    boundaries land, so the result is deterministic.
     """
-    w = Window.orderBy(col)
+    spark = df.sparkSession
+    d = df.select(col).distinct()
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    # persist pins ONE range partitioning: the boundary sampler reseeds per
+    # job, so the counts pass and the final pass must read the same layout
+    ranged = (
+        d.repartitionByRange(n, F.col(col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    local = ranged.withColumn(
+        "__local",
+        F.row_number().over(Window.partitionBy("__pid").orderBy(col)),
+    )
+    # cumulative offsets: one tiny job over per-partition counts
+    counts = sorted(
+        (r["__pid"], r["n"])
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += c
+    off = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
     return (
-        df.select(col).distinct().select(
-            col, (F.row_number().over(w) - 1).cast("bigint").alias(id_col)
-        )
+        local.join(F.broadcast(off), "__pid")
+        .select(col, (F.col("__off") + F.col("__local") - 1).cast("bigint").alias(id_col))
     )
 
 

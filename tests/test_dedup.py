@@ -74,3 +74,21 @@ def test_simhash_hamming(spark):
 
     assert ham(out[1], out[3]) < ham(out[1], out[4])
     assert ham(out[1], out[3]) <= 8
+
+
+def test_ngram_jaccard_shingle_df_cap_defuses_skew(spark):
+    """A corpus-common shingle shared by every doc must not create a
+    quadratic all-pairs join: with max_shingle_df it is dropped in-operator
+    (stopword semantics), so only genuinely-similar docs pair up."""
+    rows = [(i, f"common boiler plate unique{i} token{i} word{i} extra{i}")
+            for i in range(200)]
+    rows.append((900, "common boiler plate unique1 token1 word1 extra1"))  # near-dup of 1
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    sh = shingle_table(docs, "doc_id", "text", k=3)
+    pairs = ngram_jaccard_pairs(sh, tau=0.3, max_shingle_df=50).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(1, 900)}  # the 'common boiler plate' shingle paired nothing
+    # uncapped on the same data would emit the full ~200^2/2 pair space
+    uncapped = ngram_jaccard_pairs(sh, tau=0.01, max_shingle_df=None).count()
+    capped = ngram_jaccard_pairs(sh, tau=0.01, max_shingle_df=50).count()
+    assert capped < uncapped

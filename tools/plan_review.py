@@ -108,6 +108,20 @@ def main() -> int:
     check("minhash single-agg", plan_of(mh), must=["HashAggregate"],
           must_not=["CartesianProduct"])
 
+    # 7. label_encode: fully relational — no driver materialization of the
+    # word-vector table, no Python eval of any kind (VERDICT r01 #7)
+    from kg_curation_spark.functions.encode import label_encode
+
+    triples = spark.createDataFrame(
+        [("http://x/S", "http://x/p", "lit")],
+        "subject string, predicate string, literal string",
+    )
+    wv = spark.createDataFrame([("lit", [0.0, 1.0])], "word string, vec array<float>")
+    le = label_encode(triples, wv, dim=2, seq_lens=(2, 1, 2))
+    check("label_encode relational", plan_of(le),
+          must=["HashAggregate"],
+          must_not=["BatchEvalPython", "MapInPandas", "ArrowEvalPython"])
+
     out.close()
     spark.stop()
     print(f"\n{'ALL PLAN CHECKS PASSED' if fails == 0 else f'{fails} PLAN CHECKS FAILED'}")
