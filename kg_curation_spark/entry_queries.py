@@ -886,6 +886,271 @@ def hierarchical_score_rollup_query(spark, sf_dir):
     return hierarchical_rollup(scores, hier, ["seg"])
 
 
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({x}), '[^a-z0-9]+', ' ', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+
+
+@q(
+    "particular_samples_alpha",  # M6 (samples.py:54-99): POS/NEG counts, alpha gate
+    "WITH ents AS (SELECT c_custkey::varchar AS entity, c_mktsegment AS class, "
+    "              c_name AS label FROM customer), "
+    "asrt AS (SELECT o_orderkey::varchar AS subject, c_name AS literal "
+    "  FROM orders JOIN customer ON o_custkey = c_custkey "
+    "  WHERE o_orderkey % 20 = 0 AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE')), "
+    "cand AS (SELECT " + _NORM_SQL.format(x="c_name") + " AS ln, "
+    "         c_custkey::varchar AS entity FROM customer), "
+    "lane1 AS (SELECT a.subject, cand.entity FROM asrt a "
+    "  JOIN cand ON cand.ln = " + _NORM_SQL.format(x="a.literal") + "), "
+    "lane2 AS (SELECT o_orderkey::varchar AS subject, c_custkey::varchar AS entity "
+    "  FROM orders JOIN customer ON o_custkey = c_custkey "
+    "  WHERE o_orderkey % 20 = 10 AND c_mktsegment IN ('BUILDING', 'MACHINERY')), "
+    "pairs AS (SELECT * FROM lane1 UNION ALL SELECT * FROM lane2), "
+    "pool AS (SELECT DISTINCT c_mktsegment AS class FROM customer), "
+    "samples AS ("
+    "  SELECT 'has_cust' AS predicate, pool.class AS class, p.subject, "
+    "         e.label AS literal, (pool.class = e.class) AS is_pos "
+    "  FROM pairs p JOIN ents e ON e.entity = p.entity CROSS JOIN pool) "
+    "SELECT predicate, class, sum(is_pos::int)::bigint AS n_pos, "
+    "       sum((NOT is_pos)::int)::bigint AS n_neg "
+    "FROM samples GROUP BY 1, 2 HAVING sum(is_pos::int) >= 120",
+)
+def particular_samples_alpha_query(spark, sf_dir):
+    from .functions.text import normalize_text
+    from .stages.sampling import particular_samples
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    oc = o.join(c, o.o_custkey == c.c_custkey)
+    assertions = (
+        oc.filter(
+            (F.col("o_orderkey") % 20 == 0)
+            & F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+        )
+        .select(
+            F.col("o_orderkey").cast("string").alias("subject"),
+            F.lit("has_cust").alias("predicate"),
+            F.col("c_name").alias("literal"),
+        )
+    )
+    candidates = c.select(
+        normalize_text("c_name").alias("literal_norm"),
+        F.col("c_custkey").cast("string").alias("entity"),
+    )
+    kb = (
+        oc.filter(
+            (F.col("o_orderkey") % 20 == 10)
+            & F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+        )
+        .select(
+            F.col("o_orderkey").cast("string").alias("s"),
+            F.lit("has_cust").alias("p"),
+            F.col("c_custkey").cast("string").alias("o"),
+        )
+    )
+    entity_class = c.select(
+        F.col("c_custkey").cast("string").alias("entity"),
+        F.col("c_mktsegment").alias("class"),
+    )
+    entity_label = c.select(
+        F.col("c_custkey").cast("string").alias("entity"),
+        F.col("c_name").alias("label"),
+    )
+    pool = entity_class.select(
+        F.lit("has_cust").alias("predicate"), "class"
+    ).distinct()
+    ps = particular_samples(
+        assertions, candidates, kb, entity_class, entity_label, pool, alpha=120
+    )
+    return ps.groupBy("predicate", "class").agg(
+        F.sum(F.col("is_pos").cast("int")).cast("bigint").alias("n_pos"),
+        F.sum((~F.col("is_pos")).cast("int")).cast("bigint").alias("n_neg"),
+    )
+
+
+_LINKFEAT_T_SQL = (
+    "WITH t AS (SELECT DISTINCT l_orderkey::varchar AS s, "
+    "  'p' || (l_linenumber % 3)::varchar AS p, l_suppkey::varchar AS o FROM lineitem), "
+    "tgt AS (SELECT * FROM t WHERE p = 'p0' AND CAST(s AS BIGINT) < 500) "
+)
+
+
+@q(
+    "linkfeat_vector",  # M2 LinkFeat 2|P| bit-vector (util_encode.py:129-139)
+    _LINKFEAT_T_SQL
+    + "SELECT s, p, o, concat_ws(';', "
+    "  (p <> 'p0' AND EXISTS(SELECT 1 FROM t e WHERE e.s = tgt.s AND e.p = 'p0' AND e.o = tgt.o))::int, "
+    "  (p <> 'p1' AND EXISTS(SELECT 1 FROM t e WHERE e.s = tgt.s AND e.p = 'p1' AND e.o = tgt.o))::int, "
+    "  (p <> 'p2' AND EXISTS(SELECT 1 FROM t e WHERE e.s = tgt.s AND e.p = 'p2' AND e.o = tgt.o))::int, "
+    "  (p <> 'p0' AND EXISTS(SELECT 1 FROM t e WHERE e.s = tgt.o AND e.p = 'p0' AND e.o = tgt.s))::int, "
+    "  (p <> 'p1' AND EXISTS(SELECT 1 FROM t e WHERE e.s = tgt.o AND e.p = 'p1' AND e.o = tgt.s))::int, "
+    "  (p <> 'p2' AND EXISTS(SELECT 1 FROM t e WHERE e.s = tgt.o AND e.p = 'p2' AND e.o = tgt.s))::int"
+    ") AS link_vec FROM tgt",
+)
+def linkfeat_vector_query(spark, sf_dir):
+    from .stages.score import graph_feature_vectors
+
+    li = _t(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_orderkey").cast("string").alias("s"),
+        F.concat(F.lit("p"), (F.col("l_linenumber") % 3).cast("string")).alias("p"),
+        F.col("l_suppkey").cast("string").alias("o"),
+    ).distinct()
+    tgt = t.filter((F.col("p") == "p0") & (F.col("s").cast("bigint") < 500))
+    cand = tgt.select(
+        F.col("s").alias("subject"), F.col("p").alias("predicate"),
+        F.col("o").alias("entity"),
+    )
+    vec = graph_feature_vectors(cand, t.toDF("s", "p", "o"), ["p0", "p1", "p2"])
+    return vec.select(
+        F.col("subject").alias("s"), F.col("predicate").alias("p"),
+        F.col("entity").alias("o"),
+        F.array_join(
+            F.transform(F.col("link_vec"), lambda x: x.cast("int").cast("string")),
+            ";",
+        ).alias("link_vec"),
+    )
+
+
+# shared fixture for the typing-decision queries: per-(mktsegment, nation)
+# scores in [0,1] from customer account balances, region hierarchy above
+_TYPING_SCORES_SQL = (
+    "scores AS ("
+    "  SELECT c_mktsegment AS seg, n_name AS class, "
+    "         round(avg(c_acctbal) + 1e-9, 6) / 10000.0 AS score "
+    "  FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2), "
+    "hier AS (SELECT r_name AS class, n_name AS descendant "
+    "         FROM nation JOIN region ON n_regionkey = r_regionkey) "
+)
+
+
+def _typing_fixture(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    scores = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("n_name").alias("class"))
+        .agg((F.round(F.avg("c_acctbal") + 1e-9, 6) / 10000.0).alias("score"))
+    )
+    hier = n.join(r, n.n_regionkey == r.r_regionkey).select(
+        F.col("r_name").alias("class"), F.col("n_name").alias("descendant")
+    )
+    return scores, hier
+
+
+@q(
+    "hierarchical_typing_decision",  # typing.py:71-96 H-mode with kappa margin
+    "WITH " + _TYPING_SCORES_SQL
+    + ", hs AS ("
+    "  SELECT seg, h.class, max(s.score) AS hscore FROM scores s "
+    "  JOIN hier h ON h.descendant = s.class GROUP BY 1, 2 "
+    "  UNION ALL SELECT seg, class, score AS hscore FROM scores), "
+    "rel AS (SELECT class, descendant FROM hier "
+    "        UNION SELECT descendant, class FROM hier), "
+    "disj AS ("
+    "  SELECT a.seg, a.class, max(b.hscore) AS maxd FROM hs a "
+    "  JOIN hs b ON b.seg = a.seg AND b.class <> a.class "
+    "  LEFT JOIN rel r ON r.class = a.class AND r.descendant = b.class "
+    "  WHERE r.class IS NULL GROUP BY 1, 2) "
+    "SELECT hs.seg, hs.class FROM hs LEFT JOIN disj "
+    "  ON disj.seg = hs.seg AND disj.class = hs.class "
+    "WHERE hs.hscore >= 0.45 AND hs.hscore - coalesce(disj.maxd, 0.0) >= -0.05",
+)
+def hierarchical_typing_decision_query(spark, sf_dir):
+    from .stages.typing import hierarchical_typing
+
+    scores, hier = _typing_fixture(spark, sf_dir)
+    return hierarchical_typing(scores, hier, ["seg"], iota=0.45, kappa=-0.05)
+
+
+_TYPING_SWEEP_SQL = (
+    "WITH " + _TYPING_SCORES_SQL
+    + ", gt AS ("
+    "  SELECT c_mktsegment AS seg, n_name AS class FROM customer "
+    "  JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2 "
+    "  HAVING count(*) >= 12), "
+    "grid AS (SELECT round(i * 0.05, 9) AS iota "
+    "         FROM (SELECT unnest(generate_series(0, 19)) AS i)), "
+    "pred AS (SELECT g.iota, s.seg, s.class FROM scores s "
+    "         CROSS JOIN grid g WHERE s.score >= g.iota), "
+    "stats AS ("
+    "  SELECT p.iota, p.seg, count(*) AS npred, "
+    "         sum(CASE WHEN gt.class IS NOT NULL THEN 1 ELSE 0 END) AS ninter "
+    "  FROM pred p LEFT JOIN gt ON gt.seg = p.seg AND gt.class = p.class "
+    "  GROUP BY 1, 2), "
+    "gsize AS (SELECT seg, count(*) AS ngold FROM gt GROUP BY seg), "
+    "uni AS (SELECT DISTINCT seg FROM gt), "
+    "f AS ("
+    "  SELECT g.iota, u.seg, coalesce(st.npred, 0) AS npred, "
+    "         coalesce(st.ninter, 0) AS ninter, gs.ngold "
+    "  FROM uni u CROSS JOIN grid g "
+    "  LEFT JOIN stats st ON st.iota = g.iota AND st.seg = u.seg "
+    "  JOIN gsize gs ON gs.seg = u.seg), "
+    "prf AS (SELECT iota, "
+    "  CASE WHEN npred > 0 THEN ninter * 1.0 / npred ELSE 0 END AS p, "
+    "  CASE WHEN ngold > 0 THEN ninter * 1.0 / ngold ELSE 0 END AS r FROM f) "
+)
+
+
+def _typing_sweep_spark(spark, sf_dir):
+    from .stages.typing import typing_sweep
+
+    scores, _hier = _typing_fixture(spark, sf_dir)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    gt = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("n_name").alias("class"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 12)
+        .select("seg", "class")
+    )
+    return typing_sweep(
+        scores, gt, ["seg"], iota_start=0.0, iota_end=1.0, iota_step=0.05
+    )
+
+
+@q(
+    "typing_iota_sweep",  # typing.py:29-52 one-pass iota sweep, mean P/R/F1
+    _TYPING_SWEEP_SQL
+    + "SELECT iota, round(avg(p) + 1e-9, 6) AS mean_precision, "
+    "  round(avg(r) + 1e-9, 6) AS mean_recall, "
+    "  round(avg(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0 END) + 1e-9, 6) AS mean_f1 "
+    "FROM prf GROUP BY iota",
+)
+def typing_iota_sweep_query(spark, sf_dir):
+    sweep = _typing_sweep_spark(spark, sf_dir)
+    return sweep.select(
+        "iota",
+        F.round(F.col("mean_precision") + 1e-9, 6).alias("mean_precision"),
+        F.round(F.col("mean_recall") + 1e-9, 6).alias("mean_recall"),
+        F.round(F.col("mean_f1") + 1e-9, 6).alias("mean_f1"),
+    )
+
+
+@q(
+    "typing_sweep_summary",  # typing.py:52 Avg-F1@all / Avg-F1@top5
+    _TYPING_SWEEP_SQL
+    + ", sweep AS (SELECT iota, "
+    "    avg(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0 END) AS mean_f1 "
+    "  FROM prf GROUP BY iota) "
+    "SELECT round(avg(mean_f1) + 1e-9, 6) AS avg_f1_all, "
+    "  round((SELECT avg(mean_f1) FROM (SELECT mean_f1 FROM sweep "
+    "     ORDER BY mean_f1 DESC, iota LIMIT 5)) + 1e-9, 6) AS avg_f1_top5 "
+    "FROM sweep",
+)
+def typing_sweep_summary_query(spark, sf_dir):
+    from .stages.typing import sweep_summary
+
+    out = sweep_summary(_typing_sweep_spark(spark, sf_dir))
+    return out.select(
+        F.round(F.col("avg_f1_all") + 1e-9, 6).alias("avg_f1_all"),
+        F.round(F.col("avg_f1_top5") + 1e-9, 6).alias("avg_f1_top5"),
+    )
+
+
 @q(
     "typed_entity_filter",  # J14: first candidate whose class matches
     "WITH cand AS ("

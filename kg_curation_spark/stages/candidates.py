@@ -32,11 +32,73 @@ from ..functions.text import normalize_text, tokenize
 from ..operators.topk import topk_per_group
 
 
+def embedding_candidates(
+    assertions: DataFrame,
+    entity_label: DataFrame,
+    word_vectors: DataFrame,  # (word string, vec array<float>)
+    k: int = 30,
+) -> DataFrame:
+    """F7 second candidate lane (cache_word2vec.py:50-63,107): avg-pool the
+    word vectors of the literal's tokens and of every entity label's
+    tokens, then exact cosine top-k literal -> entities.
+
+    Pooling is fully distributed: token explode -> word-vector equi-join
+    (OOV tokens drop out, reference's `if w in vocab`) -> per-component avg
+    via posexplode — no driver materialization of the vocabulary. The
+    top-k here is the exact brute-force pass (the reference scans every
+    label per literal, cache_word2vec.py:107); at corpus scale swap in
+    operators.ann.lsh_cosine_topk — both share the (id, vec) contract.
+
+    -> (literal_norm, entity, cosine) with zero-vector sides dropped
+    (reference skips literals/labels with no in-vocab token).
+    """
+    from ..operators.ann import brute_force_cosine_topk
+
+    wv = word_vectors.select("word", "vec")
+
+    def _avg_pool(df: DataFrame, key: str) -> DataFrame:
+        toks = df.select(key, F.explode("toks").alias("word")).join(wv, "word")
+        pe = toks.select(key, F.posexplode("vec").alias("pos", "val"))
+        return (
+            pe.groupBy(key, "pos")
+            .agg(F.avg("val").alias("v"))
+            .groupBy(key)
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda x: x["v"].cast("float"),
+                ).alias("embedding")
+            )
+        )
+
+    lits = (
+        assertions.select(normalize_text("literal").alias("literal_norm"))
+        .distinct()
+        .withColumn("toks", F.array_distinct(tokenize("literal_norm")))
+    )
+    labs = (
+        entity_label.select("entity", normalize_text("label").alias("label_norm"))
+        .distinct()
+        .withColumn("toks", F.array_distinct(tokenize("label_norm")))
+    )
+    lit_vec = _avg_pool(lits, "literal_norm").withColumnRenamed(
+        "literal_norm", "vec_id"
+    )
+    lab_vec = _avg_pool(labs, "entity").withColumnRenamed("entity", "vec_id")
+    out = brute_force_cosine_topk(lab_vec, lit_vec, k=k)
+    return out.select(
+        F.col("query_id").alias("literal_norm"),
+        F.col("neighbor_id").alias("entity"),
+        "cosine",
+    )
+
+
 def generate_candidates(
     assertions: DataFrame,
     entity_label: DataFrame,
     k: int = 30,
     max_token_df: int = 1000,
+    word_vectors: DataFrame | None = None,
 ) -> DataFrame:
     lits = (
         assertions.select(normalize_text("literal").alias("literal_norm"))
@@ -82,10 +144,16 @@ def generate_candidates(
         ),
     )
 
-    scored = (
-        exact.unionByName(fuzzy)
-        .groupBy("literal_norm", "entity")
-        .agg(F.max("lex_score").alias("lex_score"))
+    lanes = exact.unionByName(fuzzy)
+    if word_vectors is not None:
+        # F7 word2vec-cosine lane, unioned before ranking (the reference
+        # keeps Lookup_Cache and word2vec caches as parallel sources)
+        emb = embedding_candidates(assertions, entity_label, word_vectors, k=k)
+        lanes = lanes.unionByName(
+            emb.select("literal_norm", "entity", F.col("cosine").alias("lex_score"))
+        )
+    scored = lanes.groupBy("literal_norm", "entity").agg(
+        F.max("lex_score").alias("lex_score")
     )
     return topk_per_group(
         scored,

@@ -167,18 +167,29 @@ def load_rlite(spark: SparkSession, data_dir: str = RLITE_DIR):
     return quads, gt
 
 
-def run_rlite_typing(
-    spark: SparkSession,
-    quads: DataFrame,
-    gt_types: DataFrame,
-    iota: float = 0.3,
-) -> dict:
-    """Leave-one-out property-prior typing on R-Lite (the honest variant of
-    the reference's PropertyRange baseline: each row is scored from the
-    OTHER rows of its property — no self-leakage). Returns mean P/R/F1.
-    """
-    from .typing import independent_typing, typing_prf
+CD_JSON = (
+    "/root/reference/Literal_Canonicalization/Codes/literal_canonicalize/"
+    "Cache/class_descendant.json"
+)
 
+
+def load_class_descendant(spark: SparkSession, path: str = CD_JSON) -> DataFrame:
+    """(class, descendant) from the reference's rdfs:subClassOf* cache
+    (reference DATA used as oracle per SURVEY §5). The SPARQL star operator
+    is reflexive, so identity pairs are present; consumers that need strict
+    descendants filter them."""
+    with open(path, encoding="utf-8") as f:
+        d = json.load(f)
+    return spark.createDataFrame(
+        [(c, dd) for c, ds in d.items() for dd in ds],
+        "class string, descendant string",
+    )
+
+
+def rlite_loo_scores(spark: SparkSession, quads: DataFrame, gt_types: DataFrame):
+    """-> (loo_scores (key, class, score), gtk (key, predicate, class)):
+    leave-one-out property-prior scores — each row scored from the OTHER
+    rows of its property, no self-leakage."""
     q = quads.withColumn(
         "key", F.concat_ws(" ", "subject", "predicate", "literal")
     )
@@ -206,6 +217,21 @@ def run_rlite_typing(
             ).otherwise(0.0),
         )
     )
-    pred = independent_typing(loo.select("key", "class", "score"), ["key"], iota=iota)
+    return loo.select("key", "class", "score"), gtk, q
+
+
+def run_rlite_typing(
+    spark: SparkSession,
+    quads: DataFrame,
+    gt_types: DataFrame,
+    iota: float = 0.3,
+) -> dict:
+    """Leave-one-out property-prior typing on R-Lite (the honest variant of
+    the reference's PropertyRange baseline). Returns mean P/R/F1.
+    """
+    from .typing import independent_typing, typing_prf
+
+    loo, gtk, q = rlite_loo_scores(spark, quads, gt_types)
+    pred = independent_typing(loo, ["key"], iota=iota)
     prf = typing_prf(pred, gtk.select("key", "class"), ["key"]).first()
     return {"prf": prf, "n_assertions": q.count()}

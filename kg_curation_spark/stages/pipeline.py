@@ -56,7 +56,10 @@ def run_pipeline(
 
     scored = ctx.stage(
         "score",
-        lambda: score_candidates(assertions, cand, kb["kb_triples"], kge),
+        lambda: score_candidates(
+            assertions, cand, kb["kb_triples"], kge,
+            entity_class=kb.get("entity_class"), vector_features=True,
+        ),
     )
 
     def _constrain() -> DataFrame:

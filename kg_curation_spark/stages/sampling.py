@@ -107,6 +107,73 @@ def negative_samples(
     )
 
 
+def particular_samples(
+    assertions: DataFrame,
+    candidates: DataFrame,
+    kb_triples: DataFrame,
+    entity_class: DataFrame,
+    entity_label: DataFrame,
+    class_pool: DataFrame,
+    alpha: int = 10,
+    entity_mask: DataFrame | None = None,
+) -> DataFrame:
+    """M6 (samples.py:54-99): POS/NEG labeled triples per (predicate, class).
+
+    Candidate entities per property come from two lanes —
+      lane 1: entities matching the assertions' literals (l_entities),
+      lane 2: object-entities of the property in the KB (p_e_subs) with
+              their original subjects —
+    minus the entity mask. For each candidate class c of p: a sample
+    [s, p, e_label] is POS when c in classes(e), NEG when e is typed but
+    c not among its classes (untyped entities join out). A (p, c) group
+    is kept only when |POS| >= alpha.
+
+    -> (predicate, class, subject, literal, is_pos), duplicates preserved
+    (the reference appends per lane x label). One shuffle per lane join;
+    the class pool fans out as a broadcast-sized dimension.
+    """
+    from ..functions.text import normalize_text
+
+    a = assertions.withColumn("literal_norm", normalize_text("literal"))
+    lane1 = a.join(
+        candidates.select("literal_norm", "entity"), "literal_norm"
+    ).select("subject", "predicate", "entity")
+    preds = assertions.select("predicate").distinct()
+    lane2 = (
+        kb_triples.select(
+            F.col("s").alias("subject"),
+            F.col("p").alias("predicate"),
+            F.col("o").alias("entity"),
+        )
+        .join(F.broadcast(preds), "predicate", "left_semi")
+    )
+    pairs = lane1.unionByName(lane2)
+    if entity_mask is not None:
+        pairs = pairs.join(entity_mask.select("entity"), "entity", "left_anti")
+
+    ecls = entity_class.groupBy("entity").agg(
+        F.collect_set("class").alias("__classes")
+    )
+    samples = (
+        pairs.join(ecls, "entity")  # inner: untyped entities sample nothing
+        .join(F.broadcast(class_pool.select("predicate", "class")), "predicate")
+        .withColumn("is_pos", F.array_contains("__classes", F.col("class")))
+        .join(entity_label.select("entity", "label"), "entity")
+        .select(
+            "predicate", "class", "subject",
+            F.col("label").alias("literal"), "is_pos",
+        )
+    )
+    kept = (
+        samples.filter(F.col("is_pos"))
+        .groupBy("predicate", "class")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= alpha)
+        .select("predicate", "class")
+    )
+    return samples.join(kept, ["predicate", "class"], "left_semi")
+
+
 def class_disjoint_pool(
     entity_class: DataFrame, class_joint: DataFrame, target_class: str
 ) -> DataFrame:

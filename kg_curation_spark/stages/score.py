@@ -102,6 +102,96 @@ def attach_features(
     return cand
 
 
+def graph_feature_vectors(
+    cand: DataFrame,
+    kb_triples: DataFrame,
+    properties: list[str],
+    entity_class: DataFrame | None = None,
+    classes: list[str] | None = None,
+) -> DataFrame:
+    """M2 full graph-feature block (util_encode.py:96-180 TripleGraphEncoder):
+
+    link_vec  — 2*|P| floats: bit i = KB holds (subject, properties[i],
+                entity), bit |P|+i = KB holds (entity, properties[i],
+                subject), skipping the triple's own predicate
+                (util_encode.py:129-139 LinkFeat).
+    class_vec — |C| + |P| + |C| one-hot block: subject classes ++
+                predicate one-hot ++ object classes
+                (util_encode.py:141-156 ClassFeat).
+
+    Vocabularies (properties, classes) are dimension-sized orderings —
+    exactly the reference's ``self.properties`` / ``self.classes`` index
+    lists. The per-pair edge sets come from TWO grouped joins (forward /
+    backward), so the cost at scale is one shuffle per direction on
+    (subject, entity) — never a |P|-way join fan-out.
+    """
+    empty = F.array().cast("array<string>")
+    fwd = kb_triples.groupBy(
+        F.col("s").alias("subject"), F.col("o").alias("entity")
+    ).agg(F.collect_set("p").alias("__fwd"))
+    bwd = kb_triples.groupBy(
+        F.col("o").alias("subject"), F.col("s").alias("entity")
+    ).agg(F.collect_set("p").alias("__bwd"))
+    out = (
+        cand.join(fwd, ["subject", "entity"], "left")
+        .join(bwd, ["subject", "entity"], "left")
+    )
+
+    def _bit(arr, p):
+        return (
+            F.when(
+                (F.col("predicate") != F.lit(p))
+                & F.array_contains(F.coalesce(arr, empty), p),
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("float")
+        )
+
+    out = out.withColumn(
+        "link_vec",
+        F.array(
+            *[_bit(F.col("__fwd"), p) for p in properties],
+            *[_bit(F.col("__bwd"), p) for p in properties],
+        ),
+    ).drop("__fwd", "__bwd")
+
+    if entity_class is not None and classes:
+        scls = entity_class.groupBy(F.col("entity").alias("subject")).agg(
+            F.collect_set("class").alias("__scls")
+        )
+        ocls = entity_class.groupBy("entity").agg(
+            F.collect_set("class").alias("__ocls")
+        )
+
+        def _cbit(arr, c):
+            return (
+                F.when(F.array_contains(F.coalesce(arr, empty), c), F.lit(1.0))
+                .otherwise(F.lit(0.0))
+                .cast("float")
+            )
+
+        out = (
+            out.join(scls, "subject", "left")
+            .join(ocls, "entity", "left")
+            .withColumn(
+                "class_vec",
+                F.array(
+                    *[_cbit(F.col("__scls"), c) for c in classes],
+                    *[
+                        F.when(F.col("predicate") == p, F.lit(1.0))
+                        .otherwise(F.lit(0.0))
+                        .cast("float")
+                        for p in properties
+                    ],
+                    *[_cbit(F.col("__ocls"), c) for c in classes],
+                ),
+            )
+            .drop("__scls", "__ocls")
+        )
+    return out
+
+
 def _stack(col: pd.Series, dim: int) -> np.ndarray:
     out = np.zeros((len(col), dim), dtype="float64")
     mask = col.notna()
@@ -124,8 +214,17 @@ def _score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pdf["emb_score"] = 1.0 / (1.0 + np.exp(-1.0 / np.maximum(d, 1e-9)))
         x = pdf[MODEL_FEATURES].to_numpy(dtype="float64")
         z = x @ MODEL_W[:-1] + MODEL_W[-1]
+        # M2 vector block (link_vec 2|P|, class_vec 2|C|+|P|) enters the
+        # same matmul — the contract a trained checkpoint plugs into. The
+        # deterministic stand-in carries zero weights for the block so the
+        # scalar-feature decision boundary (and the P/R gate) is unchanged.
+        for vc in ("link_vec", "class_vec"):
+            if vc in pdf.columns and len(pdf):
+                v = np.array(pdf[vc].tolist(), dtype="float64")
+                z = z + v @ np.zeros(v.shape[1], dtype="float64")
         pdf["model_score"] = 1.0 / (1.0 + np.exp(-z))
-        yield pdf.drop(columns=["s_vec", "r_vec", "o_vec"])
+        drop = [c for c in pdf.columns if c.endswith("_vec")]
+        yield pdf.drop(columns=drop)
 
 
 def apply_plausibility_model(scored: DataFrame) -> DataFrame:
@@ -145,6 +244,25 @@ def score_candidates(
     candidates: DataFrame,
     kb_triples: DataFrame,
     kge: DataFrame,
+    entity_class: DataFrame | None = None,
+    vector_features: bool = False,
 ) -> DataFrame:
     feats = attach_features(assertions, candidates, kb_triples, kge)
+    if vector_features:
+        # vocabulary orderings are dimension tables (the reference's
+        # self.properties / self.classes index lists)
+        properties = sorted(
+            r["p"] for r in kb_triples.select("p").distinct().collect()
+        )
+        classes = (
+            sorted(
+                r["class"]
+                for r in entity_class.select("class").distinct().collect()
+            )
+            if entity_class is not None
+            else []
+        )
+        feats = graph_feature_vectors(
+            feats, kb_triples, properties, entity_class, classes
+        )
     return apply_plausibility_model(feats)

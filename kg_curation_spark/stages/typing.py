@@ -103,6 +103,135 @@ def independent_typing(
     return type_scores.filter(F.col("score") >= iota).select(*keys, "class")
 
 
+def kappa_margin_gate(
+    hscores: DataFrame,
+    class_descendant: DataFrame,
+    keys: list[str],
+    kappa: float = 0.0,
+    score_col: str = "hscore",
+) -> DataFrame:
+    """typing.py:87-96 disjoint-margin: keep class c only when
+    Hscore(c) - max(Hscore(c') : c' disjoint from c) >= kappa, where two
+    classes are disjoint iff neither is an ancestor/descendant of the
+    other. No disjoint class present -> margin vs 0.0 (reference's
+    max_disjoint_score initial value).
+
+    The per-key class-pair self-join is blocked by the key columns, so at
+    scale its cost is sum over keys of |classes-per-key|^2 — never a global
+    cross join.
+    """
+    cd = class_descendant.select("class", "descendant").filter(
+        F.col("class") != F.col("descendant")
+    )
+    related = cd.unionByName(
+        cd.select(
+            F.col("descendant").alias("class"), F.col("class").alias("descendant")
+        )
+    ).distinct()
+    other = hscores.select(
+        *keys, F.col("class").alias("c_other"), F.col(score_col).alias("h_other")
+    )
+    disjoint_pairs = (
+        hscores.select(*keys, "class")
+        .join(other, keys)
+        .filter(F.col("c_other") != F.col("class"))
+        .join(
+            related.select("class", F.col("descendant").alias("c_other")),
+            ["class", "c_other"],
+            "left_anti",
+        )
+    )
+    disj = disjoint_pairs.groupBy(*keys, "class").agg(
+        F.max("h_other").alias("max_disjoint")
+    )
+    return (
+        hscores.join(disj, [*keys, "class"], "left")
+        .withColumn("max_disjoint", F.coalesce("max_disjoint", F.lit(0.0)))
+        .filter(F.col(score_col) - F.col("max_disjoint") >= kappa)
+        .drop("max_disjoint")
+    )
+
+
+def hierarchical_typing(
+    scores: DataFrame,
+    class_descendant: DataFrame,
+    keys: list[str],
+    iota: float = 0.5,
+    kappa: float = 0.0,
+) -> DataFrame:
+    """typing.py:71-96 hierarchical decision (the ISWC-2019 paper's second
+    headline typing mode): roll scores up the hierarchy (A8), then predict
+    c iff Hscore(c) >= iota AND the kappa disjoint-margin holds."""
+    h = hierarchical_rollup(scores, class_descendant, keys)
+    gated = kappa_margin_gate(h, class_descendant, keys, kappa=kappa)
+    return gated.filter(F.col("hscore") >= iota).select(*keys, "class")
+
+
+def typing_sweep(
+    type_scores: DataFrame,
+    gt: DataFrame,
+    keys: list[str],
+    iota_start: float = 0.0,
+    iota_end: float = 1.0,
+    iota_step: float = 0.01,
+    score_col: str = "score",
+) -> DataFrame:
+    """typing.py:29-52 iota sweep in ONE pass: -> (iota, mean_precision,
+    mean_recall, mean_f1) for every threshold on the grid. The grid is a
+    tiny broadcast cross join — predictions for all iotas materialize as
+    one filter + one aggregate, not |grid| separate jobs."""
+    spark = type_scores.sparkSession
+    n_steps = int(round((iota_end - iota_start) / iota_step))
+    grid = spark.range(n_steps).select(
+        F.round(F.lit(iota_start) + F.col("id") * F.lit(iota_step), 9).alias("iota")
+    )
+    gold = gt.select(*keys, "class").distinct()
+    universe = gold.select(*keys).distinct()
+    gsize = gold.groupBy(*keys).agg(F.count(F.lit(1)).alias("ngold"))
+    pred = (
+        type_scores.select(*keys, "class", F.col(score_col).alias("__s"))
+        .crossJoin(F.broadcast(grid))
+        .filter(F.col("__s") >= F.col("iota"))
+    )
+    stats = (
+        pred.join(gold.withColumn("__g", F.lit(1)), [*keys, "class"], "left")
+        .groupBy(*keys, "iota")
+        .agg(
+            F.count(F.lit(1)).alias("npred"),
+            F.sum(F.coalesce("__g", F.lit(0))).alias("ninter"),
+        )
+    )
+    full = (
+        universe.crossJoin(F.broadcast(grid))
+        .join(stats, [*keys, "iota"], "left")
+        .join(gsize, keys)
+        .withColumn("npred", F.coalesce("npred", F.lit(0)))
+        .withColumn("ninter", F.coalesce("ninter", F.lit(0)))
+    )
+    prec = F.when(F.col("npred") > 0, F.col("ninter") / F.col("npred")).otherwise(0.0)
+    rec = F.when(F.col("ngold") > 0, F.col("ninter") / F.col("ngold")).otherwise(0.0)
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0)
+    return (
+        full.select("iota", prec.alias("p"), rec.alias("r"), f1.alias("f1"))
+        .groupBy("iota")
+        .agg(
+            F.avg("p").alias("mean_precision"),
+            F.avg("r").alias("mean_recall"),
+            F.avg("f1").alias("mean_f1"),
+        )
+    )
+
+
+def sweep_summary(sweep: DataFrame) -> DataFrame:
+    """typing.py:52 'Avg-F1@all, Avg-F1@top5' aggregate of a typing_sweep."""
+    top5 = (
+        sweep.orderBy(F.desc("mean_f1"), F.asc("iota"))
+        .limit(5)
+        .agg(F.avg("mean_f1").alias("avg_f1_top5"))
+    )
+    return sweep.agg(F.avg("mean_f1").alias("avg_f1_all")).crossJoin(top5)
+
+
 def entity_replacement(
     assertions: DataFrame,
     candidates: DataFrame,

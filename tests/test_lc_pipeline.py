@@ -31,3 +31,62 @@ def test_rlite_loo_typing(spark):
     assert prf["mean_f1"] >= 0.78, dict(prf.asDict())
     assert prf["mean_recall"] >= 0.80
     assert out["n_assertions"] == 821  # BASELINE.md anchor
+
+
+def test_rlite_hierarchical_vs_independent_modes(spark):
+    """typing.py:71-96 H-mode vs I-mode on R-Lite LOO scores with the
+    reference's rdfs:subClassOf* hierarchy: (a) with the margin disabled,
+    H-mode predictions are a superset (Hscore >= score), so recall can only
+    rise; (b) tightening kappa prunes conflicting classes, so precision can
+    only rise; both knobs behave exactly as the ISWC-2019 paper describes."""
+    from kg_curation_spark.stages.lc_pipeline import (
+        load_class_descendant, load_rlite, rlite_loo_scores,
+    )
+    from kg_curation_spark.stages.typing import (
+        hierarchical_typing, independent_typing, typing_prf,
+    )
+
+    quads, gt = load_rlite(spark)
+    loo, gtk, _q = rlite_loo_scores(spark, quads, gt)
+    loo = loo.cache()
+    gold = gtk.select("key", "class")
+    cd = load_class_descendant(spark)
+    iota = 0.3
+
+    ind = typing_prf(
+        independent_typing(loo, ["key"], iota=iota), gold, ["key"]
+    ).first()
+    h_nomargin = typing_prf(
+        hierarchical_typing(loo, cd, ["key"], iota=iota, kappa=-1.0),
+        gold, ["key"],
+    ).first()
+    h_margin = typing_prf(
+        hierarchical_typing(loo, cd, ["key"], iota=iota, kappa=0.05),
+        gold, ["key"],
+    ).first()
+
+    assert h_nomargin["mean_recall"] >= ind["mean_recall"] - 1e-12
+    assert h_margin["mean_precision"] >= h_nomargin["mean_precision"] - 1e-12
+    # sanity: both modes stay in a useful band on R-Lite
+    assert h_nomargin["mean_f1"] >= 0.70, dict(h_nomargin.asDict())
+    assert h_margin["mean_f1"] >= 0.60, dict(h_margin.asDict())
+
+
+def test_rlite_iota_sweep_avg_f1(spark):
+    """typing.py:29-52 sweep: Avg-F1@all / @top5 over the iota grid on
+    R-Lite LOO scores; top5 >= all by construction, and the LOO sweep must
+    beat the paper's self-inclusive PropertyRange baseline band at top5."""
+    from kg_curation_spark.stages.lc_pipeline import load_rlite, rlite_loo_scores
+    from kg_curation_spark.stages.typing import sweep_summary, typing_sweep
+
+    quads, gt = load_rlite(spark)
+    loo, gtk, _q = rlite_loo_scores(spark, quads, gt)
+    sweep = typing_sweep(
+        loo, gtk.select("key", "class"), ["key"],
+        iota_start=0.0, iota_end=1.0, iota_step=0.05,
+    )
+    rows = {r["iota"]: r["mean_f1"] for r in sweep.collect()}
+    assert len(rows) == 20
+    s = sweep_summary(sweep).first()
+    assert s["avg_f1_top5"] >= s["avg_f1_all"] - 1e-12
+    assert s["avg_f1_top5"] >= 0.76, dict(s.asDict())
