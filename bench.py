@@ -39,6 +39,11 @@ HEADLINE = [
     "connected_components_star",
     "salted_join_equivalence",
     "events_hourly_rollup",
+    "hierarchical_typing_decision",
+    "typing_iota_sweep",
+    "linkfeat_vector",
+    "particular_samples_alpha",
+    "distmult_pair_score",
 ]
 
 KG_QUADS = int(os.environ.get("KG_BENCH_QUADS", "20000"))
@@ -73,10 +78,13 @@ def main() -> None:
     corpus_path = tempfile.mkdtemp(prefix="kgbench_corpus_")
     corpus.write.mode("overwrite").parquet(corpus_path)
     repos = spark.read.parquet(corpus_path)
-    kb = synth.build_kb(spark, quads)
-    kge = spark.createDataFrame(
-        synth.build_kge(quads.toPandas()), "id string, kind string, vec array<float>"
-    )
+    # KB + KGE built distributed (build_kge_spark — no driver collect) and
+    # pinned in cache so the timed pipeline never replans them lazily and
+    # the embedding-join broadcast decision is deterministic run to run.
+    kb = {n: df.cache() for n, df in synth.build_kb(spark, quads).items()}
+    kge = synth.build_kge_spark(quads).cache()
+    for df in (*kb.values(), kge):
+        df.count()
     wd = tempfile.mkdtemp(prefix="kgbench_wd_")
     t0 = time.time()
     ctx = run_pipeline(spark, repos, kb, kge, wd, num_partitions=64)

@@ -969,6 +969,51 @@ def particular_samples_alpha_query(spark, sf_dir):
     )
 
 
+@q(
+    "finetune_per_class_scores",  # M7 (prediction.py:55-108): per-(p,c) fit+predict
+    "WITH pool AS (SELECT DISTINCT c_mktsegment AS class FROM customer), "
+    "smp AS (SELECT 'has_cust' AS predicate, pool.class AS class, "
+    "        c_acctbal / 10000.0 AS x, (c_mktsegment = pool.class) AS is_pos "
+    "        FROM customer CROSS JOIN pool WHERE c_custkey % 3 = 0), "
+    "fit AS (SELECT predicate, class, "
+    "        avg(CASE WHEN is_pos THEN x END) AS mu_pos, "
+    "        coalesce(avg(CASE WHEN NOT is_pos THEN x END), 0.0) AS mu_neg, "
+    "        count(CASE WHEN is_pos THEN 1 END) AS npos "
+    "        FROM smp GROUP BY 1, 2), "
+    "tst AS (SELECT 'has_cust' AS predicate, pool.class AS class, "
+    "        c_custkey::varchar AS subject, c_name AS literal, "
+    "        c_acctbal / 10000.0 AS x "
+    "        FROM customer CROSS JOIN pool WHERE c_custkey % 3 = 1) "
+    "SELECT t.predicate, t.class, t.subject, t.literal, "
+    "  round(1.0 / (1.0 + exp(-((t.x - (f.mu_pos + f.mu_neg) / 2.0) "
+    "    * (f.mu_pos - f.mu_neg)))) + 1e-9, 6) AS score "
+    "FROM tst t JOIN fit f ON f.predicate = t.predicate AND f.class = t.class "
+    "WHERE f.npos > 0",
+)
+def finetune_per_class_scores_query(spark, sf_dir):
+    from .stages.finetune import finetune_predict_per_class
+
+    c = _t(spark, sf_dir, "customer")
+    pool = c.select(F.col("c_mktsegment").alias("class")).distinct()
+    base = c.crossJoin(pool).withColumn(
+        "x", (F.col("c_acctbal") / 10000.0).cast("double")
+    )
+    samples = base.filter(F.col("c_custkey") % 3 == 0).select(
+        F.lit("has_cust").alias("predicate"), "class", "x",
+        (F.col("c_mktsegment") == F.col("class")).alias("is_pos"),
+    )
+    tests = base.filter(F.col("c_custkey") % 3 == 1).select(
+        F.lit("has_cust").alias("predicate"), "class",
+        F.col("c_custkey").cast("string").alias("subject"),
+        F.col("c_name").alias("literal"), "x",
+    )
+    out = finetune_predict_per_class(samples, tests, ["x"])
+    return out.select(
+        "predicate", "class", "subject", "literal",
+        F.round(F.col("score") + 1e-9, 6).alias("score"),
+    )
+
+
 _LINKFEAT_T_SQL = (
     "WITH t AS (SELECT DISTINCT l_orderkey::varchar AS s, "
     "  'p' || (l_linenumber % 3)::varchar AS p, l_suppkey::varchar AS o FROM lineitem), "

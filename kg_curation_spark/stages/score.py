@@ -246,23 +246,35 @@ def score_candidates(
     kge: DataFrame,
     entity_class: DataFrame | None = None,
     vector_features: bool = False,
+    max_vector_vocab: int = 256,
 ) -> DataFrame:
     feats = attach_features(assertions, candidates, kb_triples, kge)
     if vector_features:
         # vocabulary orderings are dimension tables (the reference's
-        # self.properties / self.classes index lists)
+        # self.properties / self.classes index lists). The dense one-hot
+        # block is only meaningful for dimension-sized vocabularies (the
+        # reference fixture has ~10 properties / ~340 classes); above the
+        # budget the encoder falls back to the scalar LinkFeat/NodeFeat
+        # probes — at a 2k-relation corpus a 2|P|-wide dense array per
+        # candidate row is the wrong physical plan (a sparse index list
+        # would be the scale form).
         properties = sorted(
-            r["p"] for r in kb_triples.select("p").distinct().collect()
+            r["p"]
+            for r in kb_triples.select("p").distinct().limit(max_vector_vocab + 1).collect()
         )
         classes = (
             sorted(
                 r["class"]
-                for r in entity_class.select("class").distinct().collect()
+                for r in entity_class.select("class")
+                .distinct()
+                .limit(max_vector_vocab + 1)
+                .collect()
             )
             if entity_class is not None
             else []
         )
-        feats = graph_feature_vectors(
-            feats, kb_triples, properties, entity_class, classes
-        )
+        if len(properties) <= max_vector_vocab and len(classes) <= max_vector_vocab:
+            feats = graph_feature_vectors(
+                feats, kb_triples, properties, entity_class, classes
+            )
     return apply_plausibility_model(feats)

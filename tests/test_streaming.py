@@ -43,3 +43,51 @@ def test_available_now_drains_and_is_exactly_once(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_stateful_first_seen_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState: duplicates are suppressed across micro-batches
+    AND across separate stream invocations (state survives in the
+    checkpoint), matching the batch exact_dedup contract incrementally."""
+    from kg_curation_spark.streaming.stateful import streaming_dedup_first_seen
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def drain():
+        docs = (
+            spark.readStream.schema("doc_id string, text string")
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        q = (
+            streaming_dedup_first_seen(docs)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [("d1", "alpha"), ("d2", "beta"), ("d3", "alpha")],  # d3 dup-in-batch
+        "doc_id string, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    first = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert ("d1" in first) != ("d3" in first)  # exactly one alpha emitted
+    assert "d2" in first and len(first) == 2
+
+    # second invocation: new file with one dup of batch 1 + one new doc
+    spark.createDataFrame(
+        [("d4", "alpha"), ("d5", "gamma")], "doc_id string, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    after = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert "d4" not in after  # suppressed by state from the previous run
+    assert "d5" in after and len(after) == 3
