@@ -46,12 +46,16 @@ MODEL_W = np.array([1.2, 2.2, 0.3, 1.5, -3.4], dtype="float64")
 MODEL_FEATURES = ["lex_score", "link_feat", "node_feat", "emb_score"]
 
 # Dimension tables up to this many rows get an explicit broadcast hint.
-# Budget rationale: at dim 16 float32 a row is ~64 B + overhead, so 10M rows
-# ~ 0.6-1 GB — the upper bound of what production clusters ship as a
-# broadcast (embedding tables are routinely broadcast at this size); beyond
-# it the join falls back to shuffle. A bytes-based budget (rows x dim x 4)
-# is the production refinement.
-BROADCAST_MAX_ROWS = 10_000_000
+# Budget rationale: the broadcast hash relation is BUILT SERIALLY (driver
+# collect + single-threaded hash build) before any task runs — a fixed
+# floor that does not shrink with executors. Measured on the 8M-quad
+# corpus: a 5.5M-row entity-vector broadcast costs ~a minute of serial
+# build per stage and caps the score stage's parallel speedup; the shuffle
+# join of the same tables is fully parallel. 1.5M rows (~150-200 MB at
+# dim 16 + overhead) is where the serial build stops paying for the saved
+# shuffle on both this sandbox and a production 1000-executor cluster
+# (where the same relation must also ship to every executor).
+BROADCAST_MAX_ROWS = 1_500_000
 
 
 def attach_features(
@@ -228,7 +232,12 @@ def _score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def apply_plausibility_model(scored: DataFrame) -> DataFrame:
-    """Batch inference over Arrow batches (mapInPandas) — M8 surface."""
+    """Batch inference over Arrow batches (mapInPandas) — M8 surface.
+
+    This is the pluggable slot a trained checkpoint (AttBiRNN / MLP) drops
+    into; the Arrow batch shape is the contract. For the deterministic
+    logistic stand-in prefer ``apply_plausibility_native`` — same formula,
+    zero Python."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     keep = [f for f in scored.schema.fields if not f.name.endswith("_vec")]
@@ -237,6 +246,41 @@ def apply_plausibility_model(scored: DataFrame) -> DataFrame:
         + [StructField("emb_score", DoubleType()), StructField("model_score", DoubleType())]
     )
     return scored.mapInPandas(_score_batches, schema=schema)
+
+
+def apply_plausibility_native(scored: DataFrame, dim: int = 16) -> DataFrame:
+    """TransE (F8) + logistic stand-in (M8) as pure Column expressions —
+    whole-stage codegen, no Arrow round-trip.
+
+    Measured motivation: at 16M quads the mapInPandas form ships 3 x dim
+    floats per candidate row through Python for ~10 flops of arithmetic —
+    Arrow (de)serialization saturates memory bandwidth and the score stage
+    stops scaling past ~2x (461 s of a 728 s local[32] pipeline). The
+    native form removes the Python boundary entirely; identical formulas
+    and null->zeros semantics (J10)."""
+    zeros = F.array_repeat(F.lit(0.0).cast("float"), dim)
+    sv = F.coalesce("s_vec", zeros)
+    rv = F.coalesce("r_vec", zeros)
+    ov = F.coalesce("o_vec", zeros)
+    d = (
+        F.aggregate(
+            F.zip_with(
+                F.zip_with(sv, rv, lambda a, b: (a + b).cast("double")),
+                ov,
+                lambda x, c: F.abs(x - c.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / float(dim)
+    )
+    emb = 1.0 / (1.0 + F.exp(-1.0 / F.greatest(d, F.lit(1e-9))))
+    out = scored.withColumn("emb_score", emb)
+    z = F.lit(float(MODEL_W[-1]))
+    for w, c in zip(MODEL_W[:-1], MODEL_FEATURES):
+        z = z + float(w) * F.col(c)
+    out = out.withColumn("model_score", 1.0 / (1.0 + F.exp(-z)))
+    return out.drop(*[f.name for f in out.schema.fields if f.name.endswith("_vec")])
 
 
 def score_candidates(
@@ -277,4 +321,7 @@ def score_candidates(
             feats = graph_feature_vectors(
                 feats, kb_triples, properties, entity_class, classes
             )
-    return apply_plausibility_model(feats)
+            # vector block materialized -> feed it through the Arrow model
+            # surface (the M2 -> M8 contract a trained checkpoint uses)
+            return apply_plausibility_model(feats)
+    return apply_plausibility_native(feats)

@@ -55,3 +55,36 @@ def test_vector_block_flows_through_model_without_shifting_scores(spark):
     ).first()
     assert "link_vec" not in withvec.asDict()  # consumed, not emitted
     assert abs(withvec["model_score"] - base) < 1e-12
+
+
+def test_native_scores_match_pandas_scores(spark):
+    """apply_plausibility_native must reproduce the mapInPandas stand-in
+    bit-for-bit-ish (same float64 formulas) — it replaces it in the hot
+    path at corpus scale."""
+    import pyspark.sql.functions as F
+
+    from kg_curation_spark.stages.score import apply_plausibility_native
+
+    rows = [
+        ("a", "p1", "b", 0.9, 1.0, 0.0, [0.1] * 16, [0.0] * 16, [0.2] * 16),
+        ("a", "p1", "c", 0.4, 0.0, 1.0, None, [0.05] * 16, [0.2] * 16),
+        ("x", "p2", "y", 0.0, 0.0, 0.0, None, None, None),
+    ]
+    schema = (
+        "subject string, predicate string, entity string, lex_score double, "
+        "link_feat double, node_feat double, s_vec array<float>, "
+        "r_vec array<float>, o_vec array<float>"
+    )
+    cand = spark.createDataFrame(rows, schema)
+    a = {
+        (r["subject"], r["entity"]): (r["emb_score"], r["model_score"])
+        for r in apply_plausibility_model(cand).collect()
+    }
+    b = {
+        (r["subject"], r["entity"]): (r["emb_score"], r["model_score"])
+        for r in apply_plausibility_native(cand, dim=16).collect()
+    }
+    assert a.keys() == b.keys()
+    for k in a:
+        assert abs(a[k][0] - b[k][0]) < 1e-9, (k, a[k], b[k])
+        assert abs(a[k][1] - b[k][1]) < 1e-9, (k, a[k], b[k])

@@ -92,23 +92,36 @@ def main() -> None:
     if not os.path.exists(f"{CORPUS}/repos"):
         prepare_corpus()
 
+    legs = tuple(
+        int(x) for x in os.environ.get("KG_SCALE_LEGS", "8,32").split(",")
+    )
     results = {}
-    for cpus in (8, 32):
-        env = dict(os.environ, SPARK_LOCAL_DIRS="/dev/shm/spark-tmp")
+    for cpus in legs:
+        # tmpfs shuffle + JVM heap share physical RAM on this box; cap the
+        # heap so big-corpus shuffle spill cannot OOM the leg
+        env = dict(
+            os.environ,
+            SPARK_LOCAL_DIRS="/dev/shm/spark-tmp",
+            SPARK_DRIVER_MEM=os.environ.get("KG_SCALE_DRIVER_MEM", "32g"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--run", str(cpus)],
-            capture_output=True, text=True, check=True, env=env,
+            capture_output=True, text=True, env=env,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
+        if out.returncode != 0:
+            print(out.stderr[-4000:], file=sys.stderr)
+            raise SystemExit(f"leg local[{cpus}] failed rc={out.returncode}")
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
         print(f"local[{cpus}]: {results[cpus]}", file=sys.stderr)
 
-    eff = (results[32]["triples_per_sec"] / results[8]["triples_per_sec"]) / 4.0
+    a, b = legs
+    eff = (results[b]["triples_per_sec"] / results[a]["triples_per_sec"]) / (b / a)
     report = {
         "job": "kg_pipeline(extract->link->constrain->decide->canonicalize->materialize)",
         "input_quads": QUADS,
-        "n_parallelism": results[8],
-        "4n_parallelism": results[32],
+        "n_parallelism": results[a],
+        "4n_parallelism": results[b],
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
     }
