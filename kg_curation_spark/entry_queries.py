@@ -491,20 +491,31 @@ def lsh_candidate_pairs_query(spark, sf_dir):
     return lsh_candidate_pairs(sig, bands=4)
 
 
-@q(
-    "simhash",  # sign-sum simhash over stable 32-bit token hashes
+_SIMHASH_SQL = (
     "WITH toks AS (SELECT doc_id AS id, unnest(" + _TOKS_SQL + ") AS tok FROM documents), "
     "h AS (SELECT id, ('0x' || substr(md5('0|' || tok), 1, 8))::ubigint::bigint AS h FROM toks), "
     "bits AS (SELECT id, bit, CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS c "
     "         FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit)), "
     "s AS (SELECT id, bit, sum(c) AS s FROM bits GROUP BY 1, 2) "
     "SELECT id, sum(CASE WHEN s > 0 THEN (1::bigint << bit) ELSE 0 END)::BIGINT AS simhash "
-    "FROM s GROUP BY id",
+    "FROM s GROUP BY id"
 )
+
+
+@q("simhash", _SIMHASH_SQL)  # sign-sum simhash, explode form (oracle form)
 def simhash_query(spark, sf_dir):
     from .operators.dedup import simhash64
 
     return simhash64(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=32)
+
+
+# the Arrow scale path produces bit-identical signatures, so it shares the
+# explode form's oracle — a full value check of the mapInPandas path
+@q("simhash_arrow", _SIMHASH_SQL)
+def simhash_arrow_query(spark, sf_dir):
+    from .operators.dedup import simhash64_arrow
+
+    return simhash64_arrow(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=32)
 
 
 @q(
@@ -630,9 +641,13 @@ _LSH_ORACLE = (
     "      || '|block0'), 1, 16))::ubigint >> (i - 1)) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS w "
     "  FROM (SELECT unnest(generate_series(0, 3)) AS tbl) t "
     "  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS plane) p), "
+    # signature dot uses 2^-10-quantized components (matches the Spark UDF)
+    # so the >= 0 sign is exact under any summation order — see
+    # operators/ann.py lsh_signature_udf
     "bits AS ("
     "  SELECT e.vec_id, pl.tbl, pl.plane, "
-    "    CASE WHEN list_sum(list_transform(range(1, 65), i -> e.embedding[i]::double * pl.w[i])) >= 0 "
+    "    CASE WHEN list_sum(list_transform(range(1, 65), "
+    "      i -> floor(e.embedding[i]::double * 1024 + 0.5) / 1024 * pl.w[i])) >= 0 "
     "      THEN (1::bigint << pl.plane) ELSE 0 END AS bit "
     "  FROM embeddings e CROSS JOIN planes pl), "
     "sig AS (SELECT vec_id, tbl, sum(bit)::bigint AS bucket FROM bits GROUP BY 1, 2), "

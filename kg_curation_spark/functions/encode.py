@@ -37,6 +37,14 @@ def label_encode(
     vocabulary is billions of rows — no driver collect, no closure-shipped
     dict), then the flat feature assembles with one ordered
     collect_list/flatten. Stays JVM-side end to end.
+
+    Determinism: the feature is a pure function of the padded token array,
+    so it is computed once per DISTINCT token array keyed by a
+    content-derived sha256 (never monotonically_increasing_id — that id is
+    partition-order-dependent, and a self-join over it can desync across
+    shuffles / task retries and attach features to the wrong rows). The
+    distinct pass also dedups hot literals: a token sequence appearing a
+    million times costs one word-vector join row.
     """
     ls, lp, ll = seq_lens
     toks = (
@@ -46,22 +54,21 @@ def label_encode(
             pad_tokens(tokenize(F.col("literal")), ll),
         )
     )
-    with_toks = (
-        triples.withColumn("__toks", toks)
-        .withColumn("__rid", F.monotonically_increasing_id())
-    )
+    # \x01 separator never collides with PAD (\x00) or tokens (alnum only)
+    key = F.sha2(F.concat_ws("\x01", F.col("__toks")), 256)
+    with_toks = triples.withColumn("__toks", toks).withColumn("__key", key)
 
     zeros = F.array_repeat(F.lit(0.0).cast("float"), dim)
     wv = word_vectors.select(
         F.col("word").alias("__word"), F.col("vec").alias("__vec")
     )
     features = (
-        with_toks.select(
-            "__rid", F.posexplode("__toks").alias("__pos", "__word")
-        )
+        with_toks.select("__key", "__toks")
+        .dropDuplicates(["__key"])
+        .select("__key", F.posexplode("__toks").alias("__pos", "__word"))
         .join(wv, "__word", "left")
-        .select("__rid", "__pos", F.coalesce("__vec", zeros).alias("__v"))
-        .groupBy("__rid")
+        .select("__key", "__pos", F.coalesce("__vec", zeros).alias("__v"))
+        .groupBy("__key")
         .agg(
             F.flatten(
                 F.transform(
@@ -71,7 +78,7 @@ def label_encode(
             ).alias("feature")
         )
     )
-    return with_toks.join(features, "__rid").drop("__toks", "__rid")
+    return with_toks.join(features, "__key").drop("__toks", "__key")
 
 
 def rdf2vec_encode(

@@ -47,10 +47,14 @@ def brute_force_cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """queries x embeddings exact cosine top-k.
 
-    -> (query_id, neighbor_id, cosine, rank); self-pairs excluded.
+    -> (query_id, neighbor_id, cosine, rank). exclude_self drops
+    query_id == neighbor_id pairs — correct when queries and corpus share
+    one id space; pass False for cross-domain sets (e.g. literal strings
+    vs entity ids), where an accidental id collision is a real pair.
     """
     qs = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
@@ -58,10 +62,11 @@ def brute_force_cosine_topk(
     base = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
     )
+    joined = base.crossJoin(F.broadcast(qs))
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = (
-        base.crossJoin(F.broadcast(qs))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
+        joined.select(
             "query_id",
             "neighbor_id",
             F.round(_cosine(F.col("qvec"), F.col("nvec")), 6).alias("cosine"),
@@ -99,6 +104,13 @@ def lsh_signature_udf(n_planes: int, dim: int, seed: int = 42):
     @pandas_udf(LongType())
     def sig(vec: pd.Series) -> pd.Series:
         m = np.stack(vec.to_numpy()).astype("float64")  # (batch, dim)
+        # Quantize to multiples of 2^-10 BEFORE the plane dot: with +/-1
+        # plane weights every term is then exact in double, so the sum is
+        # exact under ANY summation order (numpy pairwise/SIMD vs a
+        # sequential SQL list_sum) and the >= 0 sign can never flip on a
+        # 1-ulp difference — the bucket assignment is bit-stable across
+        # engines. Re-rank cosines still use the raw vectors.
+        m = np.floor(m * 1024.0 + 0.5) / 1024.0
         bits = (m @ planes.T) >= 0  # (batch, planes)
         out = np.zeros(len(m), dtype="int64")
         for b in range(n_planes):
@@ -118,6 +130,7 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe_hamming: int = 1,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k with multi-table hyperplane LSH.
 
@@ -160,12 +173,12 @@ def lsh_cosine_topk(
     for x in qs_b[1:]:
         qs_all = qs_all.unionByName(x)
 
-    cand = (
-        base_all.join(qs_all, ["table", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qvec", "nvec")
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+    cand = base_all.join(qs_all, ["table", "bucket"])
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    cand = cand.select(
+        "query_id", "neighbor_id", "qvec", "nvec"
+    ).dropDuplicates(["query_id", "neighbor_id"])
     scored = cand.select(
         "query_id",
         "neighbor_id",

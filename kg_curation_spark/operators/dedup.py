@@ -13,13 +13,20 @@ Scale notes
   skew risk (near-identical boilerplate docs collapse into one bucket), so
   the pair join caps bucket size (``max_bucket``) exactly like production
   near-dup systems drop degenerate buckets.
-* simhash: JVM-side explode at test scale; at 100 TB the same signature is
-  one Arrow pandas-UDF pass (numpy packbits) — the explode form is kept
-  because it is oracle-checkable bit-for-bit.
+* simhash: ``simhash64_arrow`` is the scale path — token hashes stay
+  JVM-side, the signature is ONE vectorized numpy bit-pack per Arrow batch
+  (linear in tokens, no row blowup). ``simhash64`` is the explode form:
+  tokens x bit-positions (a 32x row multiplication), kept because it is
+  oracle-checkable bit-for-bit in DuckDB; both produce identical
+  signatures (equivalence pytest + the Arrow form shares the same oracle).
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -163,6 +170,44 @@ def simhash64(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> Data
             ).alias("simhash")
         )
     )
+
+
+def simhash64_arrow(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """-> (id, simhash): the 100-TB SimHash path. Identical signatures to
+    ``simhash64`` (same per-token stable_hash32, computed JVM-side inside
+    a transform — the md5 chain never re-implements in Python), but the
+    sign-sum + bit-pack run as ONE vectorized numpy pass per Arrow batch:
+    linear in total tokens, versus the explode form's tokens x bits row
+    multiplication. Token-less docs are dropped, matching the explode form.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokenize(text_col), lambda t: stable_hash32(t)).alias("__hs"),
+    ).filter(F.size("__hs") > 0)
+    id_field = hashed.schema["id"]
+    schema = StructType([id_field, StructField("simhash", LongType())])
+    shifts = np.arange(bits, dtype=np.int64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            lens = np.fromiter((len(h) for h in pdf["__hs"]), dtype=np.int64)
+            all_h = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in pdf["__hs"]]
+            )
+            row_idx = np.repeat(np.arange(len(pdf)), lens)
+            contrib = (((all_h[:, None] >> shifts) & 1) * 2 - 1).astype(np.int64)
+            acc = np.zeros((len(pdf), bits), dtype=np.int64)
+            np.add.at(acc, row_idx, contrib)
+            sig = ((acc > 0).astype(np.int64) * (np.int64(1) << shifts)).sum(axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "simhash": sig})
+
+    return hashed.mapInPandas(batches, schema=schema)
 
 
 def ngram_jaccard_pairs(

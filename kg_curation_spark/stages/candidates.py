@@ -85,7 +85,10 @@ def embedding_candidates(
         "literal_norm", "vec_id"
     )
     lab_vec = _avg_pool(labs, "entity").withColumnRenamed("entity", "vec_id")
-    out = brute_force_cosine_topk(lab_vec, lit_vec, k=k)
+    # exclude_self=False: queries are literal strings, neighbors are entity
+    # ids — different id domains, so a literal_norm that happens to equal
+    # an entity id is a REAL candidate, not a self-pair
+    out = brute_force_cosine_topk(lab_vec, lit_vec, k=k, exclude_self=False)
     return out.select(
         F.col("query_id").alias("literal_norm"),
         F.col("neighbor_id").alias("entity"),

@@ -37,6 +37,7 @@ def run_pipeline(
     threshold: float = 0.9,
     num_partitions: int = 32,
     force: bool = False,
+    kge_entity_rows: int | None = None,
 ) -> PipelineContext:
     """Returns the context; final graph at ctx.ran[-1].df."""
     ctx = PipelineContext(spark=spark, workdir=workdir, force=force)
@@ -59,6 +60,9 @@ def run_pipeline(
         lambda: score_candidates(
             assertions, cand, kb["kb_triples"], kge,
             entity_class=kb.get("entity_class"), vector_features=True,
+            # row count threaded from caller metadata (Iceberg manifest /
+            # stage lineage) — saves the broadcast-budget probe job
+            kge_entity_rows=kge_entity_rows,
         ),
     )
 

@@ -29,37 +29,40 @@ def dictionary_encode(
     Scale-safe: range-partition the distinct values, rank WITHIN each
     partition (parallel window — every partition is its own window group),
     then add the cumulative partition offsets (a tiny #partitions-row
-    broadcast). No global-ordering window — nothing funnels through one
-    task, so a billion-row entity vocabulary encodes at full parallelism.
-    Output ids are value-ordered and dense regardless of where the range
-    boundaries land, so the result is deterministic.
+    window + broadcast join). No global-ordering window — nothing funnels
+    through one task except the #partitions-row offsets roll-up, so a
+    billion-row entity vocabulary encodes at full parallelism. Output ids
+    are value-ordered and dense regardless of where the range boundaries
+    land, so the result is deterministic.
+
+    Layout consistency without caching: the boundary sampler reseeds per
+    query, so the offsets branch and the rank branch MUST observe the same
+    partitioning — they are built as two branches over the SAME range
+    exchange inside ONE plan, which Spark's exchange reuse materializes
+    once (tests assert the ReusedExchange). Earlier versions pinned the
+    layout with .persist(), which (a) leaked cache for the session's
+    lifetime — the CacheManager never frees it — and (b) could silently
+    recompute under memory pressure with a fresh sampler seed, desyncing
+    the two passes. No pinned state, no driver collect, no leak.
     """
     spark = df.sparkSession
     d = df.select(col).distinct()
     n = num_partitions or spark.sparkContext.defaultParallelism
-    # persist pins ONE range partitioning: the boundary sampler reseeds per
-    # job, so the counts pass and the final pass must read the same layout
-    ranged = (
-        d.repartitionByRange(n, F.col(col))
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
+    ranged = d.repartitionByRange(n, F.col(col)).withColumn(
+        "__pid", F.spark_partition_id()
     )
     local = ranged.withColumn(
         "__local",
         F.row_number().over(Window.partitionBy("__pid").orderBy(col)),
     )
-    # cumulative offsets: one tiny job over per-partition counts
-    counts = sorted(
-        (r["__pid"], r["n"])
-        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    # running-sum window over #partitions rows — single-task by design, tiny
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias("__off")
     )
-    offsets, acc = [], 0
-    for pid, c in counts:
-        offsets.append((pid, acc))
-        acc += c
-    off = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
     return (
-        local.join(F.broadcast(off), "__pid")
+        local.join(F.broadcast(offsets), "__pid")
         .select(col, (F.col("__off") + F.col("__local") - 1).cast("bigint").alias(id_col))
     )
 
@@ -69,6 +72,7 @@ def negative_samples(
     entity_pool: DataFrame,
     attempts: int = 5,
     corrupt: str = "o",
+    broadcast_max_rows: int | None = None,
 ) -> DataFrame:
     """-> (s, p, o, attempt) corrupted triples NOT present in the KB.
 
@@ -76,7 +80,17 @@ def negative_samples(
     deterministic corruption candidates; existing triples are rejected with
     a left_anti join (J13). Downsampling to |pos| is the caller's
     ``.limit``/``row_number`` choice.
+
+    The pool join is broadcast ONLY under an explicit row budget (same
+    rationale as stages/score.py BROADCAST_MAX_ROWS): the pool is the full
+    entity vocabulary, which grows with the corpus — at 100 TB it is
+    hundreds of millions of rows and an unconditional broadcast is the
+    classic serial-build / ship-everywhere failure. Above the budget the
+    join shuffles on ``eid``, a uniform dense-id key, at full parallelism.
     """
+    from .score import BROADCAST_MAX_ROWS
+
+    budget = BROADCAST_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
     pool = dictionary_encode(
         entity_pool.select(F.col("entity")), "entity", "eid"
     )
@@ -92,7 +106,8 @@ def negative_samples(
         )
         % n_pool,
     )
-    corrupted = cand.join(F.broadcast(pool), "eid").drop("eid")
+    pool_side = F.broadcast(pool) if n_pool <= budget else pool
+    corrupted = cand.join(pool_side, "eid").drop("eid")
     if corrupt == "o":
         corrupted = corrupted.select(
             "s", "p", F.col("entity").alias("o"), "attempt"
@@ -130,10 +145,14 @@ def particular_samples(
 
     -> (predicate, class, subject, literal, is_pos), duplicates preserved
     (the reference appends per lane x label). One shuffle per lane join;
-    the class pool fans out as a broadcast-sized dimension.
+    the class pool fans out as a broadcast-sized dimension. The α gate is
+    a window count over (predicate, class) — the samples lineage (two-lane
+    union + three joins) materializes ONCE, instead of the aggregate +
+    semi-join form that recomputes it end to end.
     """
-    from ..functions.text import normalize_text
+    from pyspark.sql import Window
 
+    from ..functions.text import normalize_text
     a = assertions.withColumn("literal_norm", normalize_text("literal"))
     lane1 = a.join(
         candidates.select("literal_norm", "entity"), "literal_norm"
@@ -164,14 +183,14 @@ def particular_samples(
             F.col("label").alias("literal"), "is_pos",
         )
     )
-    kept = (
-        samples.filter(F.col("is_pos"))
-        .groupBy("predicate", "class")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") >= alpha)
-        .select("predicate", "class")
+    npos = F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).over(
+        Window.partitionBy("predicate", "class")
     )
-    return samples.join(kept, ["predicate", "class"], "left_semi")
+    return (
+        samples.withColumn("__npos", npos)
+        .filter(F.col("__npos") >= alpha)
+        .drop("__npos")
+    )
 
 
 def class_disjoint_pool(

@@ -63,6 +63,7 @@ def attach_features(
     candidates: DataFrame,
     kb_triples: DataFrame,
     kge: DataFrame,
+    kge_entity_rows: int | None = None,
 ) -> DataFrame:
     """assertions x candidates (on normalized literal) + KB feature joins."""
     a = assertions.withColumn("literal_norm", normalize_text("literal"))
@@ -93,9 +94,17 @@ def attach_features(
     # explicit row budget (a 1000-executor cluster cannot ship a multi-GB
     # hash relation everywhere); under the budget the broadcast hint saves
     # the shuffle. AQE still auto-broadcasts when post-UDF stats are known.
+    # Callers that already know the entity-vector row count (stage lineage,
+    # Iceberg/parquet manifest metadata) pass kge_entity_rows and skip the
+    # limit+count probe job entirely.
     evec = kge.filter(F.col("kind") == "e").select("id", "vec")
     rvec = kge.filter(F.col("kind") == "r").select("id", "vec")
-    if evec.limit(BROADCAST_MAX_ROWS + 1).count() <= BROADCAST_MAX_ROWS:
+    n_evec = (
+        kge_entity_rows
+        if kge_entity_rows is not None
+        else evec.limit(BROADCAST_MAX_ROWS + 1).count()
+    )
+    if n_evec <= BROADCAST_MAX_ROWS:
         evec = F.broadcast(evec)
     rvec = F.broadcast(rvec)  # relation vocabulary is always small
     cand = (
@@ -291,8 +300,11 @@ def score_candidates(
     entity_class: DataFrame | None = None,
     vector_features: bool = False,
     max_vector_vocab: int = 256,
+    kge_entity_rows: int | None = None,
 ) -> DataFrame:
-    feats = attach_features(assertions, candidates, kb_triples, kge)
+    feats = attach_features(
+        assertions, candidates, kb_triples, kge, kge_entity_rows=kge_entity_rows
+    )
     if vector_features:
         # vocabulary orderings are dimension tables (the reference's
         # self.properties / self.classes index lists). The dense one-hot

@@ -3,13 +3,19 @@
 A training-data ingest pipeline must dedup NEW documents against everything
 already ingested — state that outlives any single micro-batch. This is the
 ``applyInPandasWithState`` form of the batch exact-dedup operator
-(operators/dedup.py): group by a hash bucket of the content hash, keep the
-set of seen hashes as group state, emit only first occurrences.
+(operators/dedup.py): group by the content hash, keep a one-row "seen"
+flag as group state, emit only first occurrences.
 
-Scale design: the state key is a BUCKET (hash prefix), not the raw content
-hash, so state rows stay bounded at `buckets` groups and each group's set
-grows with unique content only; on a real cluster the RocksDB state store
-spills them. Buckets distribute uniformly (xxhash64), so no hot state key.
+Scale design: state is keyed by the CONTENT HASH itself, so each group's
+state is a single flag row and a micro-batch only reads/writes state for
+the hashes present in that batch — per-batch state I/O is O(batch), not
+O(total unique hashes ever seen). (An earlier bucket-keyed form kept one
+ever-growing sorted array per bucket and rewrote it wholesale every batch —
+ingest cost degraded linearly over the stream's lifetime.) Total state rows
+equal total unique content, exactly like Spark's own streaming
+dropDuplicates; on a real cluster the RocksDB state store spills them, and
+sha256 keys distribute uniformly — no hot state key.
+
 The reference has no streaming surface (SURVEY.md §2.9) — this extends its
 dedup semantics to the incremental-ingest path alongside
 streaming/incremental.py.
@@ -23,13 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (
-    ArrayType,
-    IntegerType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
 OUT_SCHEMA = StructType(
     [
@@ -37,14 +37,13 @@ OUT_SCHEMA = StructType(
         StructField("content_hash", StringType()),
     ]
 )
-STATE_SCHEMA = StructType([StructField("seen", ArrayType(StringType()))])
+STATE_SCHEMA = StructType([StructField("seen", IntegerType())])
 
 
 def streaming_dedup_first_seen(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    buckets: int = 64,
 ) -> DataFrame:
     """streaming docs -> first-seen (doc_id, content_hash) rows; duplicates
     of anything seen in ANY earlier micro-batch (or earlier in the same
@@ -53,25 +52,24 @@ def streaming_dedup_first_seen(
     hashed = docs.select(
         F.col(id_col).cast("string").alias("doc_id"),
         F.sha2(F.col(text_col), 256).alias("content_hash"),
-    ).withColumn(
-        "bucket",
-        (F.abs(F.xxhash64("content_hash")) % buckets).cast(IntegerType()),
     )
 
     def dedup(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        seen: set = set(state.get[0]) if state.exists else set()
-        for pdf in pdfs:
-            fresh = pdf[
-                ~pdf["content_hash"].isin(seen)
-                & ~pdf["content_hash"].duplicated(keep="first")
-            ]
-            seen.update(fresh["content_hash"].tolist())
-            yield fresh[["doc_id", "content_hash"]]
-        state.update((sorted(seen),))
+        if not state.exists:
+            for pdf in pdfs:
+                if len(pdf):
+                    # first occurrence within the group: deterministic
+                    # keeper = min doc_id of the batch that introduced it
+                    yield pdf.sort_values("doc_id").head(1)[
+                        ["doc_id", "content_hash"]
+                    ]
+                    state.update((1,))
+                    break
+        # already seen: drain the iterator without emitting
 
-    return hashed.groupBy("bucket").applyInPandasWithState(
+    return hashed.groupBy("content_hash").applyInPandasWithState(
         dedup,
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,

@@ -92,3 +92,23 @@ def test_ngram_jaccard_shingle_df_cap_defuses_skew(spark):
     uncapped = ngram_jaccard_pairs(sh, tau=0.01, max_shingle_df=None).count()
     capped = ngram_jaccard_pairs(sh, tau=0.01, max_shingle_df=50).count()
     assert capped < uncapped
+
+
+def test_simhash_arrow_equals_explode_form(spark):
+    """simhash64_arrow (the 100-TB mapInPandas path) must produce
+    bit-identical signatures to the oracle-checked explode form, including
+    dropping token-less docs (VERDICT r02 'What's wrong' #2)."""
+    from kg_curation_spark.operators.dedup import simhash64_arrow
+
+    docs = _docs(spark).union(
+        spark.createDataFrame([(6, "!!! ...")], "doc_id int, text string")
+    ).repartition(4)
+    explode = {r["id"]: r["simhash"] for r in
+               simhash64(docs, "doc_id", "text", bits=32).collect()}
+    arrow = {r["id"]: r["simhash"] for r in
+             simhash64_arrow(docs, "doc_id", "text", bits=32).collect()}
+    assert arrow == explode
+    assert 6 not in arrow  # token-less doc dropped in both forms
+    plan = simhash64_arrow(docs, "doc_id", "text")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan

