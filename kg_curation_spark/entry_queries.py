@@ -705,6 +705,48 @@ def transe_pair_score_query(spark, sf_dir):
 
 
 @q(
+    "transh_pair_score",  # TransH: hyperplane projection before the TransE norm
+    # h = vec_id, t = vec_id+250, r = embedding[vec_id % 25],
+    # w (hyperplane normal) = embedding[25 + vec_id % 25];
+    # c = ((h - t) . w)/|w|^2, score = sigmoid(1/mean|h + r - t - c*w|)
+    "WITH p AS ("
+    "  SELECT a.vec_id AS h, b.vec_id AS t, a.embedding AS hv, b.embedding AS tv, "
+    "         r.embedding AS rv, w.embedding AS wv "
+    "  FROM embeddings a "
+    "  JOIN embeddings b ON b.vec_id = a.vec_id + 250 "
+    "  JOIN embeddings r ON r.vec_id = a.vec_id % 25 "
+    "  JOIN embeddings w ON w.vec_id = 25 + (a.vec_id % 25)), "
+    "c AS ("
+    "  SELECT h, t, hv, tv, rv, wv, "
+    "    (list_sum(list_transform(range(1, 65), i -> hv[i]::double * wv[i]::double)) "
+    "     - list_sum(list_transform(range(1, 65), i -> tv[i]::double * wv[i]::double))) "
+    "    / greatest(list_sum(list_transform(range(1, 65), i -> wv[i]::double * wv[i]::double)), 1e-18) AS cc "
+    "  FROM p) "
+    "SELECT h, t, round(1.0 / (1.0 + exp(-1.0 / greatest("
+    "  list_sum(list_transform(range(1, 65), i -> abs(hv[i]::double + rv[i]::double "
+    "    - tv[i]::double - cc * wv[i]::double))) / 64, 1e-9))) + 1e-9, 4) AS score "
+    "FROM c",
+)
+def transh_pair_score_query(spark, sf_dir):
+    from .functions.scoring import with_transh_score
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("h"), F.col("embedding").alias("hv"))
+    b = emb.select(F.col("vec_id").alias("t"), F.col("embedding").alias("tv"))
+    r = emb.select(F.col("vec_id").alias("rid"), F.col("embedding").alias("rv"))
+    w = emb.select(F.col("vec_id").alias("wid"), F.col("embedding").alias("wv"))
+    pairs = (
+        a.join(b, F.col("t") == F.col("h") + 250)
+        .join(r, F.col("rid") == F.col("h") % 25)
+        .join(w, F.col("wid") == F.col("h") % 25 + 25)
+    )
+    out = with_transh_score(pairs, "hv", "rv", "tv", "wv", dim=64)
+    return out.select(
+        "h", "t", F.round(F.col("score") + 1e-9, 4).alias("score")
+    )
+
+
+@q(
     "distmult_pair_score",  # F9: DistMult plausibility (r = ones vec)
     "SELECT a.vec_id AS h, b.vec_id AS t, "
     "  round(1.0 / (1.0 + exp(-list_sum(list_transform(range(1, 65), "
@@ -872,6 +914,57 @@ def property_range_score_query(spark, sf_dir):
     )
 
 
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({x}), '[^a-z0-9]+', ' ', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+
+
+@q(
+    "lookup_typing_score",  # Baselines/lookup_typing.py:32-66: types of top-k candidates
+    "WITH asrt AS (SELECT o_orderkey::varchar AS subject, 'from_nation' AS predicate, "
+    "       n_name AS literal "
+    "  FROM orders JOIN customer ON o_custkey = c_custkey "
+    "  JOIN nation ON c_nationkey = n_nationkey WHERE o_orderkey % 37 = 0), "
+    "cand AS (SELECT " + _NORM_SQL.format(x="n_name") + " AS literal_norm, "
+    "       c_custkey::varchar AS entity, "
+    "       row_number() OVER (PARTITION BY n_name ORDER BY c_custkey) AS rank "
+    "  FROM customer JOIN nation ON c_nationkey = n_nationkey), "
+    "topk AS (SELECT literal_norm, entity FROM cand WHERE rank <= 5) "
+    "SELECT DISTINCT subject, predicate, literal, c_mktsegment AS class "
+    "FROM asrt JOIN topk ON topk.literal_norm = " + _NORM_SQL.format(x="asrt.literal")
+    + " JOIN customer ON c_custkey::varchar = topk.entity",
+)
+def lookup_typing_score_query(spark, sf_dir):
+    from .stages.typing import lookup_typing_types
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cn = c.join(n, c.c_nationkey == n.n_nationkey)
+    assertions = (
+        o.join(cn, o.o_custkey == cn.c_custkey)
+        .filter(F.col("o_orderkey") % 37 == 0)
+        .select(
+            F.col("o_orderkey").cast("string").alias("subject"),
+            F.lit("from_nation").alias("predicate"),
+            F.col("n_name").alias("literal"),
+        )
+    )
+    candidates = cn.select(
+        T.normalize_text("n_name").alias("literal_norm"),
+        F.col("c_custkey").cast("string").alias("entity"),
+        F.row_number()
+        .over(Window.partitionBy("n_name").orderBy("c_custkey"))
+        .alias("rank"),
+    )
+    ec = c.select(
+        F.col("c_custkey").cast("string").alias("entity"),
+        F.col("c_mktsegment").alias("class"),
+    )
+    return lookup_typing_types(assertions, candidates, ec, k=5)
+
+
 @q(
     "hierarchical_score_rollup",  # A8: Hscore = max over hierarchy descendants
     "WITH scores AS ("
@@ -899,12 +992,6 @@ def hierarchical_score_rollup_query(spark, sf_dir):
         F.col("r_name").alias("class"), F.col("n_name").alias("descendant")
     )
     return hierarchical_rollup(scores, hier, ["seg"])
-
-
-_NORM_SQL = (
-    "trim(regexp_replace(regexp_replace(lower({x}), '[^a-z0-9]+', ' ', 'g'), "
-    "'\\s+', ' ', 'g'))"
-)
 
 
 @q(
@@ -1070,6 +1157,49 @@ def linkfeat_vector_query(spark, sf_dir):
             F.transform(F.col("link_vec"), lambda x: x.cast("int").cast("string")),
             ";",
         ).alias("link_vec"),
+    )
+
+
+@q(
+    "linkfeat_sparse_indices",  # M2 sparse form: active LinkFeat indices
+    _LINKFEAT_T_SQL
+    + ", fwd AS (SELECT s, o, array_agg(DISTINCT replace(p, 'p', '')::bigint) AS f "
+    "           FROM t GROUP BY s, o), "
+    "bwd AS (SELECT s, o, array_agg(DISTINCT replace(p, 'p', '')::bigint) AS b "
+    "        FROM t GROUP BY s, o) "
+    # coalesce: DuckDB's array_to_string([]) is NULL, Spark's array_join is ''
+    "SELECT tgt.s, tgt.p, tgt.o, coalesce(array_to_string(list_sort(list_concat("
+    "  list_filter(coalesce(fwd.f, []), x -> x <> replace(tgt.p, 'p', '')::bigint), "
+    "  list_transform(list_filter(coalesce(bw.b, []), "
+    "    x -> x <> replace(tgt.p, 'p', '')::bigint), x -> x + 3))), ';'), '') AS link_idx "
+    "FROM tgt LEFT JOIN fwd ON fwd.s = tgt.s AND fwd.o = tgt.o "
+    "LEFT JOIN bwd bw ON bw.s = tgt.o AND bw.o = tgt.s",
+)
+def linkfeat_sparse_indices_query(spark, sf_dir):
+    """Sparse M2: 'p0'..'p2' dictionary-encode (value-ordered) to 0..2, so
+    the active indices are directly comparable to the dense bit positions."""
+    from .stages.sampling import dictionary_encode
+    from .stages.score import graph_feature_vectors_sparse
+
+    li = _t(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_orderkey").cast("string").alias("s"),
+        F.concat(F.lit("p"), (F.col("l_linenumber") % 3).cast("string")).alias("p"),
+        F.col("l_suppkey").cast("string").alias("o"),
+    ).distinct()
+    tgt = t.filter((F.col("p") == "p0") & (F.col("s").cast("bigint") < 500))
+    cand = tgt.select(
+        F.col("s").alias("subject"), F.col("p").alias("predicate"),
+        F.col("o").alias("entity"),
+    )
+    pindex = dictionary_encode(t.select("p"), "p", "idx")
+    vec = graph_feature_vectors_sparse(cand, t, pindex, n_properties=3)
+    return vec.select(
+        F.col("subject").alias("s"), F.col("predicate").alias("p"),
+        F.col("entity").alias("o"),
+        F.array_join(
+            F.transform(F.col("link_idx"), lambda x: x.cast("string")), ";"
+        ).alias("link_idx"),
     )
 
 

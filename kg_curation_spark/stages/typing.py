@@ -175,16 +175,26 @@ def typing_sweep(
     iota_end: float = 1.0,
     iota_step: float = 0.01,
     score_col: str = "score",
+    grid_values: list[float] | None = None,
 ) -> DataFrame:
     """typing.py:29-52 iota sweep in ONE pass: -> (iota, mean_precision,
     mean_recall, mean_f1) for every threshold on the grid. The grid is a
     tiny broadcast cross join — predictions for all iotas materialize as
-    one filter + one aggregate, not |grid| separate jobs."""
+    one filter + one aggregate, not |grid| separate jobs.
+
+    grid_values: explicit iota doubles (e.g. the reference's np.arange
+    values, verbatim) — lets the golden-score replay compare score >= iota
+    against bit-identical thresholds."""
     spark = type_scores.sparkSession
-    n_steps = int(round((iota_end - iota_start) / iota_step))
-    grid = spark.range(n_steps).select(
-        F.round(F.lit(iota_start) + F.col("id") * F.lit(iota_step), 9).alias("iota")
-    )
+    if grid_values is not None:
+        grid = spark.createDataFrame(
+            [(float(v),) for v in grid_values], "iota double"
+        )
+    else:
+        n_steps = int(round((iota_end - iota_start) / iota_step))
+        grid = spark.range(n_steps).select(
+            F.round(F.lit(iota_start) + F.col("id") * F.lit(iota_step), 9).alias("iota")
+        )
     gold = gt.select(*keys, "class").distinct()
     universe = gold.select(*keys).distinct()
     gsize = gold.groupBy(*keys).agg(F.count(F.lit(1)).alias("ngold"))
@@ -251,6 +261,36 @@ def entity_replacement(
     return (
         typed.groupBy("subject", "predicate", "literal")
         .agg(F.min_by("entity", F.struct("rank", "entity")).alias("replacement"))
+    )
+
+
+def lookup_typing_types(
+    assertions: DataFrame,
+    candidates: DataFrame,
+    entity_class: DataFrame,
+    k: int = 30,
+    entity_mask: DataFrame | None = None,
+) -> DataFrame:
+    """Lookup-typing baseline (Baselines/lookup_typing.py:32-66): the
+    predicted types of an assertion are the classes of the literal's top-k
+    lookup candidate entities (optionally minus masked entities) — a
+    score-free baseline to compare property_range / NN scorers against.
+
+    candidates: (literal_norm, entity, rank). -> (subject, predicate,
+    literal, class) distinct predicted types per assertion; feed to
+    typing_prf against GT.
+    """
+    from ..functions.text import normalize_text
+
+    cand = candidates.filter(F.col("rank") <= k).select("literal_norm", "entity")
+    if entity_mask is not None:
+        cand = cand.join(entity_mask.select("entity"), "entity", "left_anti")
+    a = assertions.withColumn("literal_norm", normalize_text("literal"))
+    return (
+        a.join(cand, "literal_norm")
+        .join(entity_class, "entity")
+        .select("subject", "predicate", "literal", "class")
+        .distinct()
     )
 
 

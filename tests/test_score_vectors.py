@@ -88,3 +88,100 @@ def test_native_scores_match_pandas_scores(spark):
     for k in a:
         assert abs(a[k][0] - b[k][0]) < 1e-9, (k, a[k], b[k])
         assert abs(a[k][1] - b[k][1]) < 1e-9, (k, a[k], b[k])
+
+
+def test_sparse_indices_equal_dense_nonzero_positions(spark):
+    """graph_feature_vectors_sparse must mark exactly the dense form's
+    nonzero bit positions, for LinkFeat and ClassFeat, at a vocabulary the
+    dense form can still materialize (the equivalence anchor for the
+    |P|=1,958 scale mode)."""
+    from kg_curation_spark.stages.sampling import dictionary_encode
+    from kg_curation_spark.stages.score import graph_feature_vectors_sparse
+
+    props = [f"p{i:02d}" for i in range(16)]
+    classes = [f"c{i:02d}" for i in range(6)]
+    kb_rows = [
+        (f"e{(i * 7) % 9}", props[(i * 5) % 16], f"e{(i * 3) % 9}")
+        for i in range(120)
+    ]
+    kb = spark.createDataFrame(kb_rows, "s string, p string, o string").distinct()
+    ec = spark.createDataFrame(
+        [(f"e{i}", classes[(i * 5 + j) % 6]) for i in range(9) for j in range(2)],
+        "entity string, class string",
+    ).distinct()
+    cand = spark.createDataFrame(
+        [(f"e{i}", props[(i * 11) % 16], f"e{(i + 4) % 9}") for i in range(9)],
+        "subject string, predicate string, entity string",
+    )
+    dense = {
+        (r["subject"], r["entity"]): (r["link_vec"], r["class_vec"])
+        for r in graph_feature_vectors(
+            cand, kb, props, entity_class=ec, classes=classes
+        ).collect()
+    }
+    pindex = dictionary_encode(kb.select("p"), "p", "idx")
+    cindex = dictionary_encode(ec.select("class"), "class", "idx")
+    sparse = {
+        (r["subject"], r["entity"]): (r["link_idx"], r["class_idx"])
+        for r in graph_feature_vectors_sparse(
+            cand, kb, pindex, len(props),
+            entity_class=ec, class_index=cindex, n_classes=len(classes),
+        ).collect()
+    }
+    assert dense.keys() == sparse.keys()
+    for k, (lv, cv) in dense.items():
+        assert sparse[k][0] == [i for i, x in enumerate(lv) if x > 0], k
+        assert sparse[k][1] == [i for i, x in enumerate(cv) if x > 0], k
+
+
+def test_sparse_model_pass_through_at_2k_properties(spark):
+    """The M2 -> M8 vector contract at the reference's own property scale
+    (|P| = 1,958, G_properties.csv): score_candidates switches to the
+    sparse form above max_vector_vocab, the sparse block flows through the
+    Arrow model (zero weights), and scores equal the scalar-feature native
+    path — P/R-relevant outputs unchanged."""
+    import pyspark.sql.functions as F
+
+    from kg_curation_spark.stages.score import (
+        apply_plausibility_native, attach_features, score_candidates,
+    )
+    from kg_curation_spark.synth import build_kge
+
+    n_props = 1958
+    kb = spark.range(6000).select(
+        F.concat(F.lit("e"), (F.col("id") * 13 % 800).cast("string")).alias("s"),
+        F.concat(F.lit("p"), (F.col("id") % n_props).cast("string")).alias("p"),
+        F.concat(F.lit("e"), (F.col("id") * 29 % 800).cast("string")).alias("o"),
+    ).distinct()
+    assertions = spark.createDataFrame(
+        [(f"e{i}", f"p{i}", f"lit {i}") for i in range(40)],
+        "subject string, predicate string, literal string",
+    )
+    candidates = spark.createDataFrame(
+        [(f"lit {i}", f"e{(i * 7) % 800}", 0.5, 1) for i in range(40)],
+        "literal_norm string, entity string, lex_score double, rank int",
+    )
+    kge = spark.createDataFrame(
+        [("e1", "e", [0.1] * 16), ("p1", "r", [0.2] * 16)],
+        "id string, kind string, vec array<float>",
+    )
+    ec = spark.createDataFrame(
+        [(f"e{i}", f"c{i % 40}") for i in range(800)], "entity string, class string"
+    )
+    sparse_scores = score_candidates(
+        assertions, candidates, kb, kge, entity_class=ec,
+        vector_features=True, max_vector_vocab=256,
+    )
+    rows = sparse_scores.collect()
+    assert len(rows) == 40
+    native = {
+        (r["subject"], r["entity"]): (r["emb_score"], r["model_score"])
+        for r in apply_plausibility_native(
+            attach_features(assertions, candidates, kb, kge), dim=16
+        ).collect()
+    }
+    for r in rows:
+        k = (r["subject"], r["entity"])
+        # 1e-6: numpy pairwise vs Spark sequential summation order
+        assert abs(r["emb_score"] - native[k][0]) < 1e-6
+        assert abs(r["model_score"] - native[k][1]) < 1e-6

@@ -36,3 +36,74 @@ def test_predictions_wide_padding(spark):
     )
     line = predictions_wide_lines(preds, k=4).first()["line"]
     assert line.startswith('"s","p","l","e1 0.9123","e2 0.5000","",""')
+
+
+def test_transh_predictions_reproduce_golden_shape(spark):
+    """End-to-end shape parity with the committed TransH golden file
+    (DBP-Lite/Data/Predicts_TransH.csv:1-2): score candidates with the
+    TransH scorer, rank desc, serialize wide — one quoted CSV line per
+    triple, cells '"entity score"' with %.4f scores in rank order."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from kg_curation_spark.functions.scoring import with_transh_score
+    from kg_curation_spark.operators.topk import topk_per_group
+
+    vec = lambda seed: [float((seed * 7 + i) % 5) - 2.0 for i in range(4)]  # noqa: E731
+    rows = [
+        ("d:s1", "d:p", "Baku", f"d:e{i}", vec(1), vec(2), vec(10 + i), vec(3))
+        for i in range(5)
+    ]
+    cand = spark.createDataFrame(
+        rows,
+        "subject string, predicate string, literal string, entity string, "
+        "hv array<float>, rv array<float>, tv array<float>, wv array<float>",
+    )
+    scored = with_transh_score(cand, "hv", "rv", "tv", "wv", dim=4)
+    ranked = topk_per_group(
+        scored.select("subject", "predicate", "literal", "entity", "score"),
+        ["subject", "predicate", "literal"],
+        [F.desc("score"), F.asc("entity")],
+        k=30,
+    )
+    line = predictions_wide_lines(ranked, k=30).first()["line"]
+    # same grammar as the golden file: "s","p","literal","<uri> 0.9961",...
+    assert line.startswith('"d:s1","d:p","Baku","d:e')
+    cells = re.findall(r'"d:e\d \d\.\d{4}"', line)
+    assert len(cells) == 5
+    scores = [float(c.split()[-1].rstrip('"')) for c in cells]
+    assert scores == sorted(scores, reverse=True)
+    assert line.count('""') == 25  # right-padded to k=30 like the golden
+
+
+def test_transh_native_equals_arrow_udf(spark):
+    """with_transh_score (pure-Column) == transh_score (Arrow UDF) to 1e-9,
+    including the zeros-for-missing J10 path."""
+    import pyspark.sql.functions as F
+
+    from kg_curation_spark.functions.scoring import transh_score, with_transh_score
+
+    import random
+
+    rng = random.Random(7)
+    mk = lambda: [rng.uniform(-1, 1) for _ in range(8)]  # noqa: E731
+    rows = [(i, mk(), mk(), mk(), mk()) for i in range(64)]
+    rows.append((64, None, mk(), mk(), mk()))  # missing vector -> zeros
+    df = spark.createDataFrame(
+        rows,
+        "i int, hv array<float>, rv array<float>, tv array<float>, wv array<float>",
+    )
+    zeros = F.array_repeat(F.lit(0.0).cast("float"), 8)
+    filled = df.select(
+        "i",
+        F.coalesce("hv", zeros).alias("hv"), F.col("rv"),
+        F.col("tv"), F.col("wv"),
+    )
+    native = {r["i"]: r["score"] for r in
+              with_transh_score(filled, "hv", "rv", "tv", "wv", dim=8).collect()}
+    arrow = {r["i"]: r["s"] for r in
+             df.select("i", transh_score("hv", "rv", "tv", "wv").alias("s")).collect()}
+    assert len(native) == 65
+    for i, v in native.items():
+        assert abs(v - arrow[i]) < 1e-6, (i, v, arrow[i])
