@@ -122,6 +122,39 @@ def main() -> int:
           must=["HashAggregate"],
           must_not=["BatchEvalPython", "MapInPandas", "ArrowEvalPython"])
 
+    # 8. score stage: threading kge_entity_rows (stage lineage / manifest
+    # metadata) removes the broadcast-budget probe job entirely; the
+    # fallback probe costs exactly one job (VERDICT r02 #9)
+    from kg_curation_spark.stages.score import score_candidates
+
+    sc = spark.sparkContext
+    a8 = spark.createDataFrame(
+        [("s1", "p1", "lit a")], "subject string, predicate string, literal string"
+    )
+    c8 = spark.createDataFrame(
+        [("lit a", "e1", 0.9, 1)],
+        "literal_norm string, entity string, lex_score double, rank int",
+    )
+    kb8 = spark.createDataFrame([("e1", "p1", "e2")], "s string, p string, o string")
+    kge8 = spark.createDataFrame(
+        [("e1", "e", [0.1] * 16), ("p1", "r", [0.2] * 16)],
+        "id string, kind string, vec array<float>",
+    )
+    sc.setJobGroup("probe-fallback", "score_candidates without row count")
+    score_candidates(a8, c8, kb8, kge8)
+    n_probe = len(sc.statusTracker().getJobIdsForGroup("probe-fallback"))
+    sc.setJobGroup("probe-threaded", "score_candidates with kge_entity_rows")
+    score_candidates(a8, c8, kb8, kge8, kge_entity_rows=1)
+    n_threaded = len(sc.statusTracker().getJobIdsForGroup("probe-threaded"))
+    sc.setJobGroup(None, None)
+    ok = n_probe >= 1 and n_threaded == 0
+    print(
+        f"{'score probe-job elision':32s} fallback={n_probe} threaded={n_threaded}: "
+        f"{'OK' if ok else 'FAIL'}"
+    )
+    if not ok:
+        fails += 1
+
     out.close()
     spark.stop()
     print(f"\n{'ALL PLAN CHECKS PASSED' if fails == 0 else f'{fails} PLAN CHECKS FAILED'}")

@@ -52,8 +52,17 @@ def run_once(cpus: int) -> dict:
     from kg_curation_spark.session import get_spark
     from kg_curation_spark.stages.pipeline import run_pipeline
 
+    extra = {}
+    evlog = os.environ.get("KG_SCALE_EVENTLOG")
+    if evlog:
+        # per-stage shuffle/input byte decomposition for the scaling report
+        # (tools/stage_metrics.py parses it): proves the work VOLUME is
+        # parallelism-invariant while walls shrink
+        os.makedirs(evlog, exist_ok=True)
+        extra = {"spark.eventLog.enabled": "true", "spark.eventLog.dir": evlog}
     spark = get_spark(
-        app_name=f"kgcs-scale-{cpus}", parallelism=cpus, shuffle_partitions=max(cpus * 2, 32)
+        app_name=f"kgcs-scale-{cpus}", parallelism=cpus,
+        shuffle_partitions=max(cpus * 2, 32), extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
     repos = spark.read.parquet(f"{CORPUS}/repos")
