@@ -42,8 +42,12 @@ HEADLINE = [
     "hierarchical_typing_decision",
     "typing_iota_sweep",
     "linkfeat_vector",
+    "linkfeat_sparse_indices",
     "particular_samples_alpha",
     "distmult_pair_score",
+    "transh_pair_score",
+    "complex_pair_score",
+    "lookup_typing_score",
 ]
 
 KG_QUADS = int(os.environ.get("KG_BENCH_QUADS", "20000"))

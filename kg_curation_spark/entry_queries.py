@@ -747,6 +747,40 @@ def transh_pair_score_query(spark, sf_dir):
 
 
 @q(
+    "complex_pair_score",  # ComplEx: Re(<h, r, conj(t)>), packed re++im halves
+    "WITH p AS ("
+    "  SELECT a.vec_id AS h, b.vec_id AS t, a.embedding AS hv, b.embedding AS tv, "
+    "         r.embedding AS rv "
+    "  FROM embeddings a "
+    "  JOIN embeddings b ON b.vec_id = a.vec_id + 250 "
+    "  JOIN embeddings r ON r.vec_id = a.vec_id % 25) "
+    "SELECT h, t, round(1.0 / (1.0 + exp(-("
+    "  list_sum(list_transform(range(1, 33), i -> "
+    "    hv[i]::double * tv[i]::double * rv[i]::double "
+    "    + hv[i + 32]::double * tv[i + 32]::double * rv[i]::double "
+    "    + hv[i]::double * tv[i + 32]::double * rv[i + 32]::double "
+    "    - hv[i + 32]::double * tv[i]::double * rv[i + 32]::double))"
+    "))) + 1e-9, 4) AS score "
+    "FROM p",
+)
+def complex_pair_score_query(spark, sf_dir):
+    from .functions.scoring import complex_score
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("h"), F.col("embedding").alias("hv"))
+    b = emb.select(F.col("vec_id").alias("t"), F.col("embedding").alias("tv"))
+    r = emb.select(F.col("vec_id").alias("rid"), F.col("embedding").alias("rv"))
+    return (
+        a.join(b, F.col("t") == F.col("h") + 250)
+        .join(r, F.col("rid") == F.col("h") % 25)
+        .select(
+            "h", "t",
+            F.round(complex_score("hv", "rv", "tv") + 1e-9, 4).alias("score"),
+        )
+    )
+
+
+@q(
     "distmult_pair_score",  # F9: DistMult plausibility (r = ones vec)
     "SELECT a.vec_id AS h, b.vec_id AS t, "
     "  round(1.0 / (1.0 + exp(-list_sum(list_transform(range(1, 65), "
@@ -829,6 +863,43 @@ def connected_components_star_query(spark, sf_dir):
         F.col("c_name").alias("src"), F.col("n_name").alias("dst")
     )
     return connected_components(edges, num_partitions=16)
+
+
+@q(
+    "neardup_clusters",  # minhash -> LSH pairs -> connected components
+    # the end-to-end near-dup pipeline every training-data curator runs:
+    # cluster id = min doc id reachable through the LSH pair graph
+    # (singleton docs excluded — no pair, no cluster). Ids are zero-padded
+    # so lexical min == numeric min on both engines.
+    "WITH RECURSIVE "
+    + _SHINGLES_SQL.replace("WITH ", "")
+    + ", sig AS ("
+    "  SELECT id, seed, min(('0x' || substr(md5(seed || '|' || shingle), 1, 8))::ubigint::bigint) AS minhash "
+    "  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) GROUP BY id, seed), "
+    "buckets AS ("
+    "  SELECT id, seed // 2 AS band, string_agg(minhash::varchar, '_' ORDER BY seed) AS bucket "
+    "  FROM sig GROUP BY id, seed // 2), "
+    "pairs AS ("
+    "  SELECT DISTINCT lpad(a.id::varchar, 6, '0') AS a, lpad(b.id::varchar, 6, '0') AS b "
+    "  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id), "
+    "edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs), "
+    "reach(n, m) AS ("
+    "  SELECT a, a FROM (SELECT DISTINCT a FROM edges) "
+    "  UNION SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m) "
+    "SELECT n AS node, min(m) AS component FROM reach GROUP BY n",
+)
+def neardup_clusters_query(spark, sf_dir):
+    from .operators.components import connected_components
+    from .operators.dedup import lsh_candidate_pairs, minhash_signatures, shingle_table
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingle_table(docs, "doc_id", "text", k=3)
+    pairs = lsh_candidate_pairs(minhash_signatures(sh, n_hashes=8), bands=4)
+    edges = pairs.select(
+        F.lpad(F.col("id_a").cast("string"), 6, "0").alias("src"),
+        F.lpad(F.col("id_b").cast("string"), 6, "0").alias("dst"),
+    )
+    return connected_components(edges, num_partitions=8)
 
 
 @q(

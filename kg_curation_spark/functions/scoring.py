@@ -53,6 +53,30 @@ def distmult_score(s: pd.Series, r: pd.Series, o: pd.Series) -> pd.Series:
 
 
 @pandas_udf(DoubleType())
+def complex_score(s: pd.Series, r: pd.Series, o: pd.Series) -> pd.Series:
+    """ComplEx (OpenKE/models/ComplEx.py:22-23): complex-valued DistMult,
+    Re(<h, r, conj(t)>). Each array packs [real half ++ imaginary half];
+    score = sigmoid(sum(re_h*re_t*re_r + im_h*im_t*re_r + re_h*im_t*im_r
+    - im_h*re_t*im_r)) with the same sigmoid wrapper as DistMult
+    (predict_embedding.py:133-136)."""
+    dim = next((len(v) for v in s if v is not None), 16)
+    half = dim // 2
+    sv = _stack(s, dim).astype("float64")
+    rv = _stack(r, dim).astype("float64")
+    ov = _stack(o, dim).astype("float64")
+    re_h, im_h = sv[:, :half], sv[:, half:]
+    re_r, im_r = rv[:, :half], rv[:, half:]
+    re_t, im_t = ov[:, :half], ov[:, half:]
+    x = (
+        re_h * re_t * re_r
+        + im_h * im_t * re_r
+        + re_h * im_t * im_r
+        - im_h * re_t * im_r
+    ).sum(axis=1)
+    return pd.Series(1.0 / (1.0 + np.exp(-x)))
+
+
+@pandas_udf(DoubleType())
 def transh_score(
     s: pd.Series, r: pd.Series, o: pd.Series, w: pd.Series
 ) -> pd.Series:

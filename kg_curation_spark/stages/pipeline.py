@@ -38,6 +38,7 @@ def run_pipeline(
     num_partitions: int = 32,
     force: bool = False,
     kge_entity_rows: int | None = None,
+    vector_features: bool = False,
 ) -> PipelineContext:
     """Returns the context; final graph at ctx.ran[-1].df."""
     ctx = PipelineContext(spark=spark, workdir=workdir, force=force)
@@ -57,9 +58,18 @@ def run_pipeline(
 
     scored = ctx.stage(
         "score",
+        # vector_features=False default: the deterministic stand-in model
+        # carries ZERO weights for the M2 block, so materializing the
+        # dense/sparse vectors here buys no accuracy and costs two KB-sized
+        # shuffles + an Arrow pass — pure waste in the throughput pipeline.
+        # Deployments with a trained checkpoint (nonzero block weights)
+        # pass True; the full M2->M8 path is value-oracled
+        # (q:linkfeat_vector, q:linkfeat_sparse_indices) and tested at
+        # |P|=1,958 (tests/test_score_vectors.py).
         lambda: score_candidates(
             assertions, cand, kb["kb_triples"], kge,
-            entity_class=kb.get("entity_class"), vector_features=True,
+            entity_class=kb.get("entity_class"),
+            vector_features=vector_features,
             # row count threaded from caller metadata (Iceberg manifest /
             # stage lineage) — saves the broadcast-budget probe job
             kge_entity_rows=kge_entity_rows,

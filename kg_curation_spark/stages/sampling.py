@@ -150,9 +150,8 @@ def particular_samples(
     union + three joins) materializes ONCE, instead of the aggregate +
     semi-join form that recomputes it end to end.
     """
-    from pyspark.sql import Window
-
     from ..functions.text import normalize_text
+
     a = assertions.withColumn("literal_norm", normalize_text("literal"))
     lane1 = a.join(
         candidates.select("literal_norm", "entity"), "literal_norm"

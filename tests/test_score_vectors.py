@@ -185,3 +185,34 @@ def test_sparse_model_pass_through_at_2k_properties(spark):
         # 1e-6: numpy pairwise vs Spark sequential summation order
         assert abs(r["emb_score"] - native[k][0]) < 1e-6
         assert abs(r["model_score"] - native[k][1]) < 1e-6
+
+
+def test_complex_reduces_to_distmult_when_imaginary_zero(spark):
+    """ComplEx with zero imaginary halves IS DistMult on the real halves
+    (ComplEx.py:22-23 with e2/r2 = 0) — and with nonzero imaginary parts it
+    scores asymmetric pairs differently, which DistMult cannot."""
+    import pyspark.sql.functions as F
+
+    from kg_curation_spark.functions.scoring import complex_score, distmult_score
+
+    re_h, re_r, re_t = [0.5, -0.2], [0.3, 0.8], [-0.1, 0.4]
+    rows = [
+        (1, re_h + [0.0, 0.0], re_r + [0.0, 0.0], re_t + [0.0, 0.0]),
+        (2, re_h + [0.7, 0.1], re_r + [0.2, -0.5], re_t + [0.3, 0.9]),
+        (3, re_t + [0.3, 0.9], re_r + [0.2, -0.5], re_h + [0.7, 0.1]),  # swapped
+    ]
+    df = spark.createDataFrame(
+        rows, "i int, hv array<float>, rv array<float>, tv array<float>"
+    )
+    out = {
+        r["i"]: (r["cx"], r["dm"])
+        for r in df.select(
+            "i",
+            complex_score("hv", "rv", "tv").alias("cx"),
+            distmult_score(
+                F.slice("hv", 1, 2), F.slice("rv", 1, 2), F.slice("tv", 1, 2)
+            ).alias("dm"),
+        ).collect()
+    }
+    assert abs(out[1][0] - out[1][1]) < 1e-9  # zero-imag == DistMult
+    assert abs(out[2][0] - out[3][0]) > 1e-6  # asymmetric under h<->t swap
