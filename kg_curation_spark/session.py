@@ -29,6 +29,29 @@ def get_spark(
     """
     cpus = parallelism or os.environ.get("SPARK_GRAFT_CPUS") or "*"
     master = f"local[{cpus}]"
+    # multi-JVM executor mode: each executor gets its OWN heap + GC, the
+    # faithful single-box stand-in for an N-executor cluster (used by
+    # tools/scaling_bench.py KG_SCALE_MASTER=cluster). Format: "N_exec x
+    # cores_per_exec x mem_mb" via SPARK_GRAFT_CLUSTER="4,2,12288".
+    cluster = os.environ.get("SPARK_GRAFT_CLUSTER")
+    py_files = None
+    if cluster:
+        workers, cores, mem = (int(x) for x in cluster.split(","))
+        master = f"local-cluster[{workers},{cores},{mem}]"
+        cpus = workers * cores
+        # executors run their OWN python workers with their own sys.path:
+        # ship this package exactly as `spark-submit --py-files` would
+        # (the north rule's deployment contract)
+        import shutil
+        import tempfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        py_files = shutil.make_archive(
+            os.path.join(tempfile.gettempdir(), "kg_curation_spark_pkg"),
+            "zip",
+            os.path.dirname(pkg_dir),
+            os.path.basename(pkg_dir),
+        )
     n_shuffle = shuffle_partitions or (
         int(cpus) if str(cpus).isdigit() else 32
     )
@@ -67,10 +90,24 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
         )
+        # in local-cluster (multi-JVM) mode the tasks run in executor JVMs
+        # — give them the same throughput-GC setting as the driver
+        .config(
+            "spark.executor.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/tmp"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if py_files:
+        builder = builder.config("spark.submit.pyFiles", py_files)
+    if cluster:
+        # local-cluster's per-worker memory only caps what the worker may
+        # hand out — the executor JVM itself defaults to 1g and OOMs on the
+        # first broadcast unless sized to the worker
+        _, _, mem_mb = (int(x) for x in cluster.split(","))
+        builder = builder.config("spark.executor.memory", f"{mem_mb}m")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

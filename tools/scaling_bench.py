@@ -52,6 +52,14 @@ def run_once(cpus: int) -> dict:
     from kg_curation_spark.session import get_spark
     from kg_curation_spark.stages.pipeline import run_pipeline
 
+    if os.environ.get("KG_SCALE_MASTER") == "cluster":
+        # N vs 4N EXECUTORS, literally: local-cluster runs each executor in
+        # its own JVM (own heap, own GC) with KG_SCALE_EXEC_CORES cores and
+        # KG_SCALE_EXEC_MEM MB — the shared-heap GC inflation measured in
+        # the local[N] ladder (BENCH/BASELINE.md) does not occur here.
+        cores = int(os.environ.get("KG_SCALE_EXEC_CORES", "2"))
+        mem = int(os.environ.get("KG_SCALE_EXEC_MEM", "12288"))
+        os.environ["SPARK_GRAFT_CLUSTER"] = f"{cpus // cores},{cores},{mem}"
     extra = {}
     evlog = os.environ.get("KG_SCALE_EVENTLOG")
     if evlog:
