@@ -46,8 +46,14 @@ def get_spark(
         import tempfile
 
         pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        # per-process unique dir: a fixed path would let two concurrent
+        # sessions (or a scaling-bench child racing its parent) overwrite
+        # each other's archive while executors are still fetching it
         py_files = shutil.make_archive(
-            os.path.join(tempfile.gettempdir(), "kg_curation_spark_pkg"),
+            os.path.join(
+                tempfile.mkdtemp(prefix="kgcs_pyfiles_"),
+                "kg_curation_spark_pkg",
+            ),
             "zip",
             os.path.dirname(pkg_dir),
             os.path.basename(pkg_dir),

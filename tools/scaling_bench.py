@@ -46,6 +46,8 @@ def prepare_corpus() -> None:
         df.write.mode("overwrite").parquet(f"{CORPUS}/{name}")
     synth.build_kge_spark(quads).write.mode("overwrite").parquet(f"{CORPUS}/kge")
     spark.stop()
+    with open(f"{CORPUS}/meta.json", "w") as fh:
+        json.dump({"quads": QUADS}, fh)
 
 
 def run_once(cpus: int) -> dict:
@@ -113,7 +115,15 @@ def main() -> None:
         print(json.dumps(run_linking_once(int(sys.argv[2]))))
         return
 
-    if not os.path.exists(f"{CORPUS}/repos"):
+    # stale-reuse guard: a corpus left by a previous run at a different
+    # KG_SCALE_QUADS must never be silently measured as this size
+    meta_path = f"{CORPUS}/meta.json"
+    stale = True
+    if os.path.exists(f"{CORPUS}/repos") and os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            stale = json.load(fh).get("quads") != QUADS
+    if stale:
+        shutil.rmtree(CORPUS, ignore_errors=True)
         prepare_corpus()
 
     legs = tuple(
