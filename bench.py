@@ -31,7 +31,7 @@ HEADLINE = [
     "exact_dedup",
     "minhash_signatures",
     "lsh_candidate_pairs",
-    "simhash_arrow",
+    "simhash",
     "ngram_jaccard_pairs",
     "quality_features",
     "cosine_topk",
@@ -44,9 +44,7 @@ HEADLINE = [
     "linkfeat_vector",
     "linkfeat_sparse_indices",
     "particular_samples_alpha",
-    "distmult_pair_score",
-    "transh_pair_score",
-    "complex_pair_score",
+    "kge_pair_scores",
     "lookup_typing_score",
 ]
 
