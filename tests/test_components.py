@@ -7,9 +7,9 @@ import pyspark.sql.functions as F
 from kg_curation_spark.operators.components import connected_components
 
 
-def _run(spark, edges):
+def _run(spark, edges, **kw):
     df = spark.createDataFrame(edges, "src string, dst string")
-    out = connected_components(df, num_partitions=8)
+    out = connected_components(df, num_partitions=8, **kw)
     return {r["node"]: r["component"] for r in out.collect()}
 
 
@@ -41,3 +41,39 @@ def test_star_hub(spark):
 def test_component_rep_is_min_name(spark):
     comp = _run(spark, [("q", "m"), ("m", "b"), ("q", "z")])
     assert set(comp.values()) == {"b"}
+
+
+def test_freeze_stars_equivalent_on_mixed_graph(spark):
+    """freeze_stars must produce identical labels on a graph mixing the
+    shapes a near-dup similarity graph produces: isolated pairs (freezable
+    round 1), triangles, small stars, a long chain (never freezable until
+    the end), and a hub."""
+    edges = []
+    edges += [(f"p{i}a", f"p{i}b") for i in range(30)]  # isolated pairs
+    edges += [  # triangles
+        e for i in range(10)
+        for e in [(f"t{i}x", f"t{i}y"), (f"t{i}y", f"t{i}z"), (f"t{i}z", f"t{i}x")]
+    ]
+    edges += [(f"s{i // 4}hub", f"s{i // 4}l{i % 4}") for i in range(40)]  # stars
+    edges += [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(30)]  # chain
+    edges += [("bighub", f"bh{i:03d}") for i in range(100)]  # hub
+    base = _run(spark, edges, freeze_stars=False)
+    frozen = _run(spark, edges, freeze_stars=True)
+    assert frozen == base
+
+
+def test_freeze_stars_random_graphs_equivalent(spark):
+    """Randomized equivalence: Erdős–Rényi-ish sparse graphs, several
+    seeds — the two code paths must agree exactly."""
+    import random
+
+    for seed in (7, 19, 23):
+        rng = random.Random(seed)
+        n = 300
+        edges = [
+            (f"v{rng.randrange(n):03d}", f"v{rng.randrange(n):03d}")
+            for _ in range(320)
+        ]
+        base = _run(spark, edges, freeze_stars=False)
+        frozen = _run(spark, edges, freeze_stars=True)
+        assert frozen == base, f"seed {seed}"
