@@ -106,12 +106,21 @@ class CatalogTableSink:
 
     def write(self, ctx: "PipelineContext", name: str, df: DataFrame,
               partition_by: list[str] | None) -> None:
+        from pyspark.errors import AnalysisException
+
         w = df.writeTo(self.table(name)).using(self.fmt)
         if partition_by:
             w = w.partitionedBy(*[F.col(c) for c in partition_by])
         try:
             w.createOrReplace()  # atomic snapshot swap on v2 catalogs
-        except Exception:
+        except AnalysisException as ex:
+            # Only the known capability gap falls back: the sandbox session
+            # catalog cannot run REPLACE TABLE AS SELECT. Anything else
+            # (executor loss, OOM, quota) re-raises so a transient failure
+            # never drop+retries away the previous committed snapshot.
+            msg = str(ex)
+            if "REPLACE TABLE AS SELECT" not in msg and "RTAS" not in msg:
+                raise
             ctx.spark.sql(f"DROP TABLE IF EXISTS {self.table(name)}")
             w.create()
 

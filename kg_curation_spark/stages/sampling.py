@@ -22,41 +22,71 @@ from ..functions.text import stable_hash32
 
 
 def dictionary_encode(
-    df: DataFrame, col: str, id_col: str = "id", num_partitions: int | None = None
+    df: DataFrame,
+    col: str,
+    id_col: str = "id",
+    num_partitions: int | None = None,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """-> (col, id) dense ids 0..n-1 ordered by value (deterministic).
 
-    Scale-safe: range-partition the distinct values, rank WITHIN each
-    partition (parallel window — every partition is its own window group),
-    then add the cumulative partition offsets (a tiny #partitions-row
-    window + broadcast join). No global-ordering window — nothing funnels
-    through one task except the #partitions-row offsets roll-up, so a
-    billion-row entity vocabulary encodes at full parallelism. Output ids
-    are value-ordered and dense regardless of where the range boundaries
-    land, so the result is deterministic.
+    Scale-safe: bucket the distinct values by VALUE-DERIVED range
+    boundaries, rank WITHIN each bucket (parallel window — every bucket is
+    its own window group), then add the cumulative bucket offsets (a tiny
+    #buckets-row window + broadcast join). No global-ordering window —
+    nothing funnels through one task except the #buckets-row offsets
+    roll-up, so a billion-row entity vocabulary encodes at full
+    parallelism.
 
-    Layout consistency without caching: the boundary sampler reseeds per
-    query, so the offsets branch and the rank branch MUST observe the same
-    partitioning — they are built as two branches over the SAME range
-    exchange inside ONE plan, which Spark's exchange reuse materializes
-    once (tests assert the ReusedExchange). Earlier versions pinned the
-    layout with .persist(), which (a) leaked cache for the session's
-    lifetime — the CacheManager never frees it — and (b) could silently
-    recompute under memory pressure with a fresh sampler seed, desyncing
-    the two passes. No pinned state, no driver collect, no leak.
+    Bucket-id determinism is the load-bearing property: the rank branch
+    and the offsets branch are separate traversals, and nothing guarantees
+    Spark materializes their shared subtree once (exchange reuse is a
+    best-effort physical optimization — AQE stage planning, column-pruning
+    changes, or spark.sql.exchange.reuse=false all break it). An earlier
+    form bucketed with repartitionByRange + spark_partition_id(), whose
+    sampler reseeds per traversal — correct only WHILE the exchange
+    happened to be reused. Now the bucket id is a pure function of the
+    value: boundaries come from a deterministic hash-condition sample
+    (pmod(xxhash64(v), p) = 0 — stable across runs, partition layouts and
+    cluster sizes), are embedded in the plan as literals, and both
+    branches compute identical bucket ids even if recomputed
+    independently. Ids are value-ordered and dense wherever the
+    boundaries land.
+
+    approx_rows: vocabulary-size hint used only to pick the sample rate;
+    pass it from table metadata (Iceberg manifest row counts) to skip the
+    sizing pass, same pattern as kge_entity_rows threading. Boundary
+    sampling costs one small collect (~64·n values).
     """
     spark = df.sparkSession
     d = df.select(col).distinct()
     n = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = d.repartitionByRange(n, F.col(col)).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    local = ranged.withColumn(
+    bounds: list = []
+    if n > 1:
+        m = approx_rows if approx_rows is not None else d.count()
+        p = max(1, m // (n * 64))
+        sample = sorted(
+            r[0]
+            for r in d.filter(F.pmod(F.xxhash64(col), F.lit(p)) == 0).collect()
+        )
+        step = max(1, len(sample) // n)
+        bounds = sample[step::step][: n - 1]
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        pid = F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col(col) > b, 1).otherwise(0),
+        )
+    else:
+        pid = F.lit(0)
+    bucketed = d.withColumn("__pid", pid)
+    local = bucketed.withColumn(
         "__local",
         F.row_number().over(Window.partitionBy("__pid").orderBy(col)),
     )
-    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
-    # running-sum window over #partitions rows — single-task by design, tiny
+    counts = bucketed.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    # running-sum window over #buckets rows — single-task by design, tiny
     off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "__pid", F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias("__off")

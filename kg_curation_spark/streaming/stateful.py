@@ -58,15 +58,20 @@ def streaming_dedup_first_seen(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if not state.exists:
+            # deterministic keeper = min doc_id of the batch that introduced
+            # the hash. A group larger than the Arrow batch size arrives as
+            # MULTIPLE chunks, so the min must be tracked across the whole
+            # iterator — head(1) of the first chunk would be chunk-order-
+            # dependent.
+            best: pd.DataFrame | None = None
             for pdf in pdfs:
                 if len(pdf):
-                    # first occurrence within the group: deterministic
-                    # keeper = min doc_id of the batch that introduced it
-                    yield pdf.sort_values("doc_id").head(1)[
-                        ["doc_id", "content_hash"]
-                    ]
-                    state.update((1,))
-                    break
+                    cand = pdf.sort_values("doc_id").head(1)
+                    if best is None or cand["doc_id"].iloc[0] < best["doc_id"].iloc[0]:
+                        best = cand
+            if best is not None:
+                yield best[["doc_id", "content_hash"]]
+                state.update((1,))
         # already seen: drain the iterator without emitting
 
     return hashed.groupBy("content_hash").applyInPandasWithState(

@@ -52,11 +52,12 @@ def test_negative_samples_shuffle_join_above_broadcast_budget(spark):
     assert sorted(map(tuple, gated.collect())) == sorted(map(tuple, hinted.collect()))
 
 
-def test_dictionary_encode_no_cache_leak_and_reused_exchange(spark):
+def test_dictionary_encode_no_cache_leak_and_value_buckets(spark):
     """dictionary_encode must not leak pinned blocks for the session's
-    lifetime (VERDICT r02 'What's wrong' #3). It now pins NOTHING: the
-    offsets branch and the rank branch share one range exchange via
-    Spark's exchange reuse, so layout consistency needs no persist."""
+    lifetime (VERDICT r02 'What's wrong' #3) — it pins NOTHING. And its
+    bucket ids must be VALUE-derived (ADVICE r03 #1): correctness no
+    longer rides on Spark's best-effort exchange reuse, so the plan must
+    contain no RangePartitioning (whose sampler reseeds per traversal)."""
 
     def n_persistent() -> int:
         return spark.sparkContext._jsc.getPersistentRDDs().size()
@@ -69,15 +70,21 @@ def test_dictionary_encode_no_cache_leak_and_reused_exchange(spark):
             f"v{i}_{j}": k for k, j in enumerate(sorted(range(50), key=lambda j: f"v{i}_{j}"))
         }
     assert n_persistent() == base, "dictionary_encode pinned cache blocks"
-    # the range exchange is materialized once and reused by both branches
+    # no sampler-dependent range exchange anywhere in the plan
     out = dictionary_encode(
         spark.createDataFrame([(f"w{j}",) for j in range(100)], "x string"), "x"
     )
-    out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan or (
-        "reuses" in plan
-    ), plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    # dense value-ordered ids, stable across bucket counts (boundary
+    # placement must not leak into the output)
+    df = spark.createDataFrame([(f"w{j:03d}",) for j in range(100)], "x string")
+    a = sorted(map(tuple, dictionary_encode(df, "x", num_partitions=2).collect()))
+    b = sorted(map(tuple, dictionary_encode(df, "x", num_partitions=16).collect()))
+    c = sorted(map(tuple, dictionary_encode(df, "x", num_partitions=16,
+                                            approx_rows=100).collect()))
+    assert a == b == c
+    assert [t[1] for t in a] == list(range(100))
 
 
 def test_label_encode_shape_and_zeros(spark):
