@@ -107,3 +107,68 @@ def test_transh_native_equals_arrow_udf(spark):
     assert len(native) == 65
     for i, v in native.items():
         assert abs(v - arrow[i]) < 1e-6, (i, v, arrow[i])
+
+
+def test_openke_benchmark_files(spark, tmp_path):
+    """Byte-shape parity with the reference's OpenKE benchmark convention
+    (DBP-Lite/predict_embedding.py:43-83; committed sample
+    OpenKE/benchmarks/DBP/relation2id.txt:1 carries the same count
+    header): count header first, 'label\\tid' maps, 'sid oid pid' triple
+    files, test2id a copy of valid2id."""
+    import re
+
+    from kg_curation_spark.stages.serialize import write_openke_benchmark
+
+    triples = spark.createDataFrame(
+        [
+            ("e_ann", "p_knows", "e_bob"),
+            ("e_bob", "p_knows", "e_cid"),
+            ("e_cid", "p_likes", "e_ann"),
+            ("e_ann", "p_likes", "e_dee"),
+        ],
+        "subject string, predicate string, object string",
+    )
+    out = str(tmp_path / "bench")
+    counts = write_openke_benchmark(triples, out, valid_size=2)
+    assert counts == {
+        "entity2id.txt": 4, "relation2id.txt": 2,
+        "train2id.txt": 4, "valid2id.txt": 2, "test2id.txt": 2,
+    }
+
+    def read(fn):
+        with open(f"{out}/{fn}") as fh:
+            lines = fh.read().splitlines()
+        assert int(lines[0]) == len(lines) - 1, fn  # count header
+        return lines[1:]
+
+    ents = read("entity2id.txt")
+    rels = read("relation2id.txt")
+    assert all(re.fullmatch(r"\S+\t\d+", l) for l in ents + rels)
+    e2id = dict(l.split("\t") for l in ents)
+    r2id = dict(l.split("\t") for l in rels)
+    # dense, value-ordered ids (the rebuild's determinism upgrade)
+    assert sorted(int(i) for i in e2id.values()) == [0, 1, 2, 3]
+    assert [k for k, _ in sorted(e2id.items(), key=lambda kv: int(kv[1]))] == sorted(e2id)
+
+    train = read("train2id.txt")
+    assert all(re.fullmatch(r"\d+ \d+ \d+", l) for l in train)
+    # reference cell order is (sid, OID, pid) — decode back and compare
+    inv_e = {v: k for k, v in e2id.items()}
+    inv_r = {v: k for k, v in r2id.items()}
+    decoded = {
+        (inv_e[a], inv_r[c], inv_e[b])
+        for a, b, c in (l.split() for l in train)
+    }
+    assert decoded == {tuple(r) for r in triples.collect()}
+
+    valid = read("valid2id.txt")
+    assert set(valid) <= set(train) and len(valid) == 2
+    with open(f"{out}/valid2id.txt", "rb") as a, open(f"{out}/test2id.txt", "rb") as b:
+        assert a.read() == b.read()
+
+    # deterministic across reruns (stable-hash split, no RNG)
+    out2 = str(tmp_path / "bench2")
+    write_openke_benchmark(triples, out2, valid_size=2)
+    for fn in counts:
+        with open(f"{out}/{fn}", "rb") as a, open(f"{out2}/{fn}", "rb") as b:
+            assert a.read() == b.read(), fn
