@@ -162,3 +162,21 @@ def test_attbirnn_beats_property_range_on_sdata(spark):
               "Data/SData_Type_fixed.json")
     )
     assert float(np.average(nn)) > float(np.average(pr))
+
+
+def test_rdata_property_range_hierarchical_replay(spark):
+    """R-Lite, property-range baseline, HIERARCHICAL typing
+    (typing.py:57-110 with the RData triple-keyed GT, typing.py:38) —
+    widens the exact-parity surface to the remaining committed
+    score-file x mode combination (VERDICT r03 next-round #6)."""
+    with open(os.path.join(LC_DIR, "Cache/class_descendant.json")) as f:
+        cd = json.load(f)
+    rows = _load("RData", "Baselines/RData_Scores_PropertyRange.json",
+                 "Data/RData_Type.json")
+    expected = _expected_hierarchical(rows, cd, kappa=0.0)
+    got = _spark_sweep(spark, "RData", "Baselines/RData_Scores_PropertyRange.json",
+                       "Data/RData_Type.json", mode="H", kappa=0.0)
+    _assert_match(got, expected)
+    # pinned Avg-F1@all / @top5 for this invocation (typing.py:52 format)
+    assert round(float(np.average(expected)), 4) == 0.3402
+    assert round(float(np.average(sorted(expected)[-5:])), 4) == 0.4408
