@@ -155,6 +155,53 @@ def main() -> int:
     if not ok:
         fails += 1
 
+    # 9. sparse-M2 scorer branch (vector_features=True above the dense
+    # vocab budget): dictionary_encode x2 feeds active-index arrays into
+    # the Arrow scatter-add model surface — MapInPandas, never
+    # row-Python, and the sparse encoder must not smuggle in a cartesian
+    # or a global sort (VERDICT r03 next-round #7)
+    a9 = spark.createDataFrame(
+        [("s1", "p1", "lit a"), ("s2", "p2", "lit b")],
+        "subject string, predicate string, literal string",
+    )
+    c9 = spark.createDataFrame(
+        [("lit a", "e1", 0.9, 1), ("lit b", "e2", 0.8, 1)],
+        "literal_norm string, entity string, lex_score double, rank int",
+    )
+    kb9 = spark.createDataFrame(
+        [("e1", "p1", "e2"), ("e2", "p2", "e3"), ("e3", "p3", "e1")],
+        "s string, p string, o string",
+    )
+    kge9 = spark.createDataFrame(
+        [("e1", "e", [0.1] * 16), ("p1", "r", [0.2] * 16)],
+        "id string, kind string, vec array<float>",
+    )
+    ec9 = spark.createDataFrame(
+        [("e1", "C1"), ("e2", "C2"), ("e3", "C3")],
+        "entity string, class string",
+    )
+    sp = score_candidates(
+        a9, c9, kb9, kge9, entity_class=ec9,
+        vector_features=True, max_vector_vocab=2, kge_entity_rows=1,
+    )
+    p_sp = plan_of(sp)
+    check(
+        "sparse-M2 scorer branch", p_sp,
+        must=["MapInPandas"],
+        must_not=["BatchEvalPython", "CartesianProduct", "rangepartitioning"],
+    )
+    # the sparse path's shuffle budget: pin the exchange count so a future
+    # change that adds a hidden shuffle to the scorer fails loudly here
+    # measured 58 on this toy shape (the sparse path's join fan: candidate
+    # gen x kb x kge x two dictionary encodes x LinkFeat fwd/bwd x
+    # ClassFeat subj/obj); the pin catches a future change quietly adding
+    # shuffles to the scorer
+    n_ex = p_sp.count("Exchange ")
+    ok = n_ex <= 60
+    print(f"{'sparse-M2 scorer branch':32s} exchanges={n_ex} (<=60): {'OK' if ok else 'FAIL'}")
+    if not ok:
+        fails += 1
+
     out.close()
     spark.stop()
     print(f"\n{'ALL PLAN CHECKS PASSED' if fails == 0 else f'{fails} PLAN CHECKS FAILED'}")
