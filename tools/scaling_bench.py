@@ -1,13 +1,27 @@
 """Scaling-efficiency evidence (BASELINE.json north rule).
 
-Runs the IDENTICAL KG pipeline job on the IDENTICAL input at two
-parallelism levels (default local[8] vs local[32] — the sandbox stand-in
-for N vs 4N executors) in separate JVMs, and reports throughput at both
-plus scaling efficiency = (T_N / T_4N) / 4.
+Runs the IDENTICAL KG pipeline job on the IDENTICAL input at two cluster
+sizes and reports throughput at both plus scaling efficiency
+= (T_N / T_4N) / 4.
+
+DEFAULT INSTRUMENT (deployment-shaped): multi-JVM executor mode —
+`local-cluster[N_exec, cores, mem]`, each executor in its own JVM with
+its own heap/GC/python workers and the package shipped via
+spark.submit.pyFiles exactly as `spark-submit --py-files` would. Default
+legs 2,8 = 1 executor vs 4 executors at 2 cores each (N vs 4N
+EXECUTORS, literally). Each leg runs in a fresh process (pyFiles is
+ignored by a second context in the same JVM).
+
+KG_SCALE_MASTER=local opts into the legacy in-process ladder
+(local[N] threads sharing one JVM heap; legs default 8,32) — kept as a
+diagnostic because its shared-heap GC term is exactly what executor
+mode removes; see BENCH/BASELINE.md.
 
 Usage:
-    python tools/scaling_bench.py            # both levels + report
-    python tools/scaling_bench.py --run 8    # single measured run (internal)
+    python tools/scaling_bench.py            # both legs + report
+    python tools/scaling_bench.py --run 8    # single measured leg (internal)
+Knobs: KG_SCALE_QUADS, KG_SCALE_LEGS, KG_SCALE_EXEC_CORES (2),
+KG_SCALE_EXEC_MEM MB (12288), KG_SCALE_EVENTLOG, KG_SCALE_DRIVER_MEM.
 """
 
 from __future__ import annotations
@@ -54,7 +68,7 @@ def run_once(cpus: int) -> dict:
     from kg_curation_spark.session import get_spark
     from kg_curation_spark.stages.pipeline import run_pipeline
 
-    if os.environ.get("KG_SCALE_MASTER") == "cluster":
+    if os.environ.get("KG_SCALE_MASTER", "cluster") != "local":
         # N vs 4N EXECUTORS, literally: local-cluster runs each executor in
         # its own JVM (own heap, own GC) with KG_SCALE_EXEC_CORES cores and
         # KG_SCALE_EXEC_MEM MB — the shared-heap GC inflation measured in
@@ -126,8 +140,9 @@ def main() -> None:
         shutil.rmtree(CORPUS, ignore_errors=True)
         prepare_corpus()
 
+    default_legs = "8,32" if os.environ.get("KG_SCALE_MASTER") == "local" else "2,8"
     legs = tuple(
-        int(x) for x in os.environ.get("KG_SCALE_LEGS", "8,32").split(",")
+        int(x) for x in os.environ.get("KG_SCALE_LEGS", default_legs).split(",")
     )
     results = {}
     for cpus in legs:
