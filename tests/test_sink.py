@@ -56,3 +56,39 @@ def test_catalog_sink_layout_and_resume(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS kgsink_test_sa")
         spark.sql("DROP TABLE IF EXISTS kgsink_test_sb")
+
+
+def test_catalog_sink_transient_failure_preserves_snapshot(spark, tmp_path):
+    """ADVICE r03 #2: a transient write failure must re-raise, NOT drop the
+    previously committed table and retry — only the known RTAS capability
+    gap (AnalysisException naming REPLACE TABLE AS SELECT) may fall back."""
+    import pytest
+
+    from kg_curation_spark.stages.base import CatalogTableSink
+
+    sink = CatalogTableSink(table_prefix="kgsink_fail_")
+    ctx = PipelineContext(spark=spark, workdir=str(tmp_path), sink=sink)
+    try:
+        sink.write(ctx, "t", spark.range(5), None)
+        assert spark.table("kgsink_fail_t").count() == 5
+
+        class ExplodingWriter:
+            def using(self, fmt):
+                return self
+
+            def partitionedBy(self, *cols):
+                return self
+
+            def createOrReplace(self):
+                raise RuntimeError("executor lost mid-write")
+
+        real_writeTo = type(spark.range(1)).writeTo
+        df = spark.range(99)
+        df.writeTo = lambda name: ExplodingWriter()  # instance-level stub
+        with pytest.raises(RuntimeError, match="executor lost"):
+            sink.write(ctx, "t", df, None)
+        # previous committed snapshot untouched
+        assert spark.table("kgsink_fail_t").count() == 5
+        assert type(spark.range(1)).writeTo is real_writeTo
+    finally:
+        spark.sql("DROP TABLE IF EXISTS kgsink_fail_t")
