@@ -33,46 +33,18 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     return edges.unionByName(rev).filter(F.col("u") != F.col("v")).distinct()
 
 
-def connected_components(
-    edges: DataFrame,
-    src: str = "src",
-    dst: str = "dst",
-    num_partitions: int = 32,
-    max_iter: int = 50,
-    freeze_stars: bool = True,
+def _cc_loop(
+    e: DataFrame,
+    num_partitions: int,
+    max_iter: int,
+    freeze_stars: bool,
 ) -> DataFrame:
-    """-> (node string, component string); component = min node name in the
-    cluster, so output is deterministic regardless of hash values.
-    Self-edges tolerated (define isolated nodes).
+    """Large-star/small-star fixpoint over (u, v) edges of ANY ordered
+    type (longs or strings — the algorithm only needs a total order).
+    -> (u, c): one row per node appearing in the symmetric graph,
+    c = minimum node id of its component. Self-loop-only nodes are absent
+    (callers decide whether isolated nodes need rows)."""
 
-    freeze_stars (default on; measured ~30% faster at 3.6M mixed edges,
-    identical labels): per-round frontier reduction. A component is provably
-    finished when it is already a star rooted at its minimum: root r has
-    only larger neighbors, and every neighbor is a degree-1 leaf whose
-    single edge points at r. Such a component is self-contained (no node in
-    it has an edge outside), so its labels are final — emit them now and
-    drop its edges, and later rounds shuffle only the still-converging
-    frontier. On similarity graphs (near-dup clusters: mostly 2-5 node
-    components, a few long chains) the frontier collapses after round one
-    while the stock loop keeps re-shuffling the whole edge set every round.
-    The freeze test piggybacks on the aggregation large-star already needs
-    (min + count per node), so a round costs one extra small join, not an
-    extra pass over the edges."""
-    nodes = (
-        edges.select(F.col(src).alias("name"))
-        .unionByName(edges.select(F.col(dst).alias("name")))
-        .distinct()
-        .withColumn("nid", F.xxhash64("name"))
-        .cache()
-    )
-
-    e = (
-        edges.select(F.col(src).alias("name"), F.col(dst).alias("dname"))
-        .join(nodes, "name")
-        .select(F.col("nid").alias("u"), F.col("dname").alias("name"))
-        .join(nodes, "name")
-        .select("u", F.col("nid").alias("v"))
-    )
     def _checkpoint_with_sig(df):
         """Materialize one round AND collect its edge-set signature in the
         SAME job: the signature is an Observation on the checkpointed plan,
@@ -169,6 +141,72 @@ def connected_components(
     )
     for fp in frozen_parts:
         labels = labels.unionByName(fp)
+    return labels
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int = 32,
+    max_iter: int = 50,
+    freeze_stars: bool = True,
+    ordered_ids: bool = False,
+) -> DataFrame:
+    """-> (node string, component string); component = min node name in the
+    cluster, so output is deterministic regardless of hash values.
+    Self-edges tolerated (define isolated nodes).
+
+    freeze_stars (default on; measured ~30% faster at 3.6M mixed edges,
+    identical labels): per-round frontier reduction. A component is provably
+    finished when it is already a star rooted at its minimum: root r has
+    only larger neighbors, and every neighbor is a degree-1 leaf whose
+    single edge points at r. Such a component is self-contained (no node in
+    it has an edge outside), so its labels are final — emit them now and
+    drop its edges, and later rounds shuffle only the still-converging
+    frontier. On similarity graphs (near-dup clusters: mostly 2-5 node
+    components, a few long chains) the frontier collapses after round one
+    while the stock loop keeps re-shuffling the whole edge set every round.
+    The freeze test piggybacks on the aggregation large-star already needs
+    (min + count per node), so a round costs one extra small join, not an
+    extra pass over the edges.
+
+    ordered_ids=False (default): node names are hashed to longs up front
+    with xxhash64 so strings never shuffle inside the loop; names are
+    joined back once at the end, and a per-component min-name pass restores
+    the deterministic label. ordered_ids=True skips all of that: the loop
+    runs DIRECTLY on the string names — the algorithm only needs a total
+    order, and lexicographic order IS one — so the loop's min node is
+    already the min name. That removes two vocabulary-scale hash joins at
+    init and the name-join + rep-groupBy + rep-join at assembly (measured
+    the dominant cost on star-dominated graphs where freeze leaves only
+    ~1 heavy round to benefit from narrow 8-byte shuffles). Trade-off:
+    loop shuffles carry full strings, so prefer the hashed form when the
+    graph needs many rounds. In ordered mode, nodes whose every edge is a
+    self-loop get no output row (no other node can reference them; callers
+    coalesce to identity)."""
+    if ordered_ids:
+        e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        labels = _cc_loop(e, num_partitions, max_iter, freeze_stars)
+        return labels.select(
+            F.col("u").alias("node"), F.col("c").alias("component")
+        )
+
+    nodes = (
+        edges.select(F.col(src).alias("name"))
+        .unionByName(edges.select(F.col(dst).alias("name")))
+        .distinct()
+        .withColumn("nid", F.xxhash64("name"))
+        .cache()
+    )
+    e = (
+        edges.select(F.col(src).alias("name"), F.col(dst).alias("dname"))
+        .join(nodes, "name")
+        .select(F.col("nid").alias("u"), F.col("dname").alias("name"))
+        .join(nodes, "name")
+        .select("u", F.col("nid").alias("v"))
+    )
+    labels = _cc_loop(e, num_partitions, max_iter, freeze_stars)
     all_nodes = nodes.select(F.col("nid").alias("u"))
     labels = all_nodes.join(labels, "u", "left").select(
         "u", F.coalesce("c", F.col("u")).alias("c")

@@ -50,12 +50,15 @@ def similarity_edges(
     """Edges for clustering: redirect pairs + entities sharing a normalized
     label (blocking key = label, so the self-join is an equi-join; a label
     shared by a hot entity set is bounded by the per-label group size)."""
+    # identity redirects are clustering no-ops — drop them before the
+    # union so the final distinct shuffles only real edges
     red = redirects.select(
         F.col("entity").alias("src"), F.col("equivalent").alias("dst")
-    )
-    lab = entity_label.select(
-        "entity", normalize_text("label").alias("lab")
-    ).distinct()
+    ).filter(F.col("src") != F.col("dst"))
+    # no pre-distinct on (entity, lab): min() tolerates duplicates and the
+    # final edge distinct dedups — a pre-distinct would be one more
+    # vocabulary-scale shuffle
+    lab = entity_label.select("entity", normalize_text("label").alias("lab"))
     # connect every entity of a label group to the group's min entity —
     # star edges, |group| rows, instead of a quadratic self-join
     rep = lab.groupBy("lab").agg(F.min("entity").alias("dst"))
@@ -66,10 +69,23 @@ def similarity_edges(
 def canonicalize(
     entity_label: DataFrame, redirects: DataFrame, num_partitions: int = 32
 ) -> DataFrame:
-    """-> (node, component): canonical cluster id per entity."""
+    """-> (node, component): canonical cluster id per entity.
+
+    Runs connected_components in ordered-ids mode: entity URIs are already
+    totally ordered (lexicographically), so the loop runs directly on the
+    names and its min IS the deterministic min-name label. That removes
+    the two vocabulary-scale hash joins at init and the name-join +
+    rep-groupBy + rep-join at assembly that dominated this stage at 32M
+    quads (the similarity graph is star-dominated — label groups and
+    redirect alias pairs — so star-freezing leaves only ~1 heavy loop
+    round, and the narrow-hashed-id trade-off no longer pays).
+
+    Entities absent from the graph (no same-label peer, no redirect) have
+    no row; apply_canonical coalesces them to themselves.
+    """
     edges = similarity_edges(entity_label, redirects)
     return connected_components(
-        edges, "src", "dst", num_partitions=num_partitions
+        edges, "src", "dst", num_partitions=num_partitions, ordered_ids=True
     )
 
 

@@ -77,3 +77,60 @@ def test_freeze_stars_random_graphs_equivalent(spark):
         base = _run(spark, edges, freeze_stars=False)
         frozen = _run(spark, edges, freeze_stars=True)
         assert frozen == base, f"seed {seed}"
+        ordered = _run(spark, edges, ordered_ids=True)
+        # ordered mode omits self-loop-only nodes (documented contract)
+        iso = {n for n, c in base.items() if c == n and n not in ordered}
+        assert {n: c for n, c in base.items() if n not in iso} == ordered, seed
+
+
+def test_canonicalize_ordered_mode_equals_hashed_cc(spark):
+    """stages/canonicalize.canonicalize (ordered-ids CC over the names)
+    must agree exactly with the hashed CC + min-name-rep form on a graph
+    mixing multi-label bridge entities, redirect chains through unlabeled
+    entities, redirects inside a group, and cross-group redirect merges."""
+    from kg_curation_spark.stages.canonicalize import (
+        canonicalize, similarity_edges,
+    )
+
+    entity_label = spark.createDataFrame(
+        [
+            # group "alpha": a1 (rep), a2, a9
+            ("a1", "Alpha"), ("a2", "alpha"), ("a9", "ALPHA"),
+            # group "beta": b1 (rep), b2
+            ("b1", "beta"), ("b2", "Beta"),
+            # group "gamma": g1 (rep), g2
+            ("g1", "gamma"), ("g2", "Gamma"),
+            # multi-label bridge: m1 carries beta AND gamma labels
+            ("m1", "beta"), ("m1", "gamma"),
+            # singleton group
+            ("s1", "solo"),
+            # group "delta" merged to alpha via redirect below
+            ("d1", "delta"), ("d2", "Delta"),
+        ],
+        "entity string, label string",
+    )
+    redirects = spark.createDataFrame(
+        [
+            ("d2", "x_unlabeled"),      # chain through an unlabeled node
+            ("x_unlabeled", "a2"),      # ... lands in group alpha
+            ("a1", "a9"),               # redirect inside one group (no-op)
+            ("y_only", "z_only"),       # redirect-only component
+        ],
+        "entity string, equivalent string",
+    )
+    flat = connected_components(
+        similarity_edges(entity_label, redirects), "src", "dst",
+        num_partitions=8, ordered_ids=False,
+    )
+    ordered = canonicalize(entity_label, redirects, num_partitions=8)
+    flat_m = {r["node"]: r["component"] for r in flat.collect()}
+    got_m = {r["node"]: r["component"] for r in ordered.collect()}
+    # ordered-ids mode must agree with the hashed+min-name-rep form exactly
+    assert got_m == flat_m
+    # spot checks: delta merged into alpha through the unlabeled chain
+    assert got_m["d1"] == got_m["a1"] == "a1"
+    assert got_m["m1"] == got_m["b1"] == got_m["g1"] == "b1"
+    assert got_m["y_only"] == got_m["z_only"] == "y_only"
+    # singleton label group: no edge, no row — apply_canonical
+    # coalesces it to itself downstream
+    assert "s1" not in got_m
