@@ -6,9 +6,12 @@ MapReduce and Beyond", SoCC'14) used by the canonicalize stage: similarity/
 redirect edges -> canonical cluster id per entity.
 
 Scale design:
-  * node ids are hashed to longs up front with ``xxhash64`` — string URIs
-    never shuffle inside the loop; names are joined back once at the end
-    (no global-ordering window anywhere — nothing funnels to one task);
+  * two id modes: by default node names are hashed to longs up front with
+    ``xxhash64`` so strings never shuffle inside the loop (names joined
+    back once at the end); ``ordered_ids=True`` instead runs the loop
+    DIRECTLY on the names — the algorithm only needs a total order — which
+    wins when freezing leaves few rounds (see connected_components);
+    either way no global-ordering window — nothing funnels to one task;
   * explicit ``repartition(num, 'u')`` before the loop (north rule);
   * ``localCheckpoint`` each round truncates lineage so round N's plan does
     not replay rounds 1..N-1;
