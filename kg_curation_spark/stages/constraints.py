@@ -33,11 +33,26 @@ from ..functions.scoring import noisy_or
 # Mining
 
 
-def mine_cardinality(kb_triples: DataFrame) -> DataFrame:
+def per_subject_counts(kb_triples: DataFrame) -> DataFrame:
+    """-> (s, p, n): distinct objects per (subject, predicate).
+
+    The ONE vocabulary-scale aggregation of the constrain stage — both
+    mine_cardinality (the distribution) and cardinality_score (the
+    per-candidate existing-count, J9) consume it. Compute it once and pass
+    it to both: the groupBy key order (s, p) matches cardinality_score's
+    join key order, so the existing-count side needs no extra exchange,
+    and Catalyst's ReuseExchange dedupes the underlying kb_triples
+    scan+shuffle between the two consumers when they meet in one plan.
+    """
+    return kb_triples.groupBy("s", "p").agg(F.countDistinct("o").alias("n"))
+
+
+def mine_cardinality(
+    kb_triples: DataFrame, per_subj: DataFrame | None = None
+) -> DataFrame:
     """-> (p, n, rate, max_n): distribution of per-subject object counts."""
-    per_subj = kb_triples.groupBy("p", "s").agg(
-        F.countDistinct("o").alias("n")
-    )
+    if per_subj is None:
+        per_subj = per_subject_counts(kb_triples)
     dist = per_subj.groupBy("p", "n").agg(F.count(F.lit(1)).alias("freq"))
     w = Window.partitionBy("p")
     return dist.select(
@@ -101,7 +116,11 @@ def mine_range(
 
 
 def cardinality_score(
-    scored: DataFrame, card: DataFrame, kb_triples: DataFrame, theta: float = 0.9
+    scored: DataFrame,
+    card: DataFrame,
+    kb_triples: DataFrame,
+    theta: float = 0.9,
+    per_subj: DataFrame | None = None,
 ) -> DataFrame:
     """A5 piecewise score per candidate row.
 
@@ -111,20 +130,38 @@ def cardinality_score(
       sum(rate[n >= n_new]) * (1-r)    overflow-tolerant tail mass
       0                                if no constraint for p
     (validate_constraint.py:84-104 semantics, flattened to one join + agg.)
+
+    per_subj: pass per_subject_counts(kb_triples) shared with
+    mine_cardinality so the KB aggregates once, not twice.
     """
-    existing = kb_triples.groupBy(
-        F.col("s").alias("subject"), F.col("p").alias("predicate")
-    ).agg(F.countDistinct("o").alias("n_existing"))
+    if per_subj is None:
+        per_subj = per_subject_counts(kb_triples)
+    existing = per_subj.select(
+        F.col("s").alias("subject"),
+        F.col("p").alias("predicate"),
+        F.col("n").alias("n_existing"),
+    )
 
     base = scored.join(existing, ["subject", "predicate"], "left").fillna(
         {"n_existing": 0}
     ).withColumn("n_new", F.col("n_existing") + 1)
 
-    # constraint stats are computed per distinct (predicate, n_new) — a tiny
-    # dimension — then broadcast back; the wide fact rows never re-shuffle.
-    need = base.select("predicate", "n_new").distinct()
+    # Constraint stats per (predicate, n_new) — derived ENTIRELY from the
+    # card dimension: every n_existing value that occurs in the fact comes
+    # from the same per-subject aggregation card was built from, so the
+    # reachable n_new values are exactly {n+1 : (p, n) in card} ∪ {1}
+    # (missing (subject, predicate) pairs land on n_new = 1). Building
+    # `need` from card instead of from the fact keeps the heavy
+    # scored ⨝ existing join out of the broadcast-build subtree — the fact
+    # never executes twice.
+    cardp = card.withColumnRenamed("p", "predicate")
+    need = (
+        cardp.select("predicate", (F.col("n") + 1).alias("n_new"))
+        .unionByName(cardp.select("predicate", F.lit(1).alias("n_new")))
+        .distinct()
+    )
     stats = (
-        need.join(card.withColumnRenamed("p", "predicate"), "predicate", "left")
+        need.join(cardp, "predicate")
         .groupBy("predicate", "n_new")
         .agg(
             F.max("max_n").alias("max_n"),
@@ -145,20 +182,30 @@ def cardinality_score(
 def range_score(
     scored: DataFrame, rng: DataFrame, entity_class: DataFrame
 ) -> DataFrame:
-    """A4 noisy-or over the candidate's classes matching p's range."""
+    """A4 noisy-or over the candidate's classes matching p's range.
+
+    The score depends ONLY on (predicate, entity) — the candidate's classes
+    vs p's range constraint — never on which (subject, literal) row proposed
+    the candidate. So aggregate over the DISTINCT (predicate, entity)
+    projection (narrow, map-side-combinable) and left-join the result back
+    once. The previous row-keyed form shuffled the fact by entity, grouped
+    it by a 4-wide-string row key, and joined the fact again on that key —
+    three fact-sized shuffles where one narrow-keyed shuffle suffices
+    (measured the constrain stage's 2→8-core scaling drag at 32M quads).
+    """
     con = rng.filter(F.col("kind") == "con").select(
         F.col("p").alias("predicate"), "class", "rate"
     )
+    pe = scored.select("predicate", "entity").distinct()
     matches = (
-        scored.select("subject", "predicate", "literal_norm", "entity")
-        .join(entity_class, "entity")
+        pe.join(entity_class, "entity")
         .join(con, ["predicate", "class"])
-        .groupBy("subject", "predicate", "literal_norm", "entity")
+        .groupBy("predicate", "entity")
         .agg(noisy_or(F.col("rate")).alias("range_score"))
     )
-    return scored.join(
-        matches, ["subject", "predicate", "literal_norm", "entity"], "left"
-    ).fillna({"range_score": 0.0})
+    return scored.join(matches, ["predicate", "entity"], "left").fillna(
+        {"range_score": 0.0}
+    )
 
 
 def merge_scores(df: DataFrame) -> DataFrame:

@@ -21,6 +21,7 @@ from .constraints import (
     merge_scores,
     mine_cardinality,
     mine_range,
+    per_subject_counts,
     range_score,
 )
 from .decide import decide, rank_predictions
@@ -77,9 +78,13 @@ def run_pipeline(
     )
 
     def _constrain() -> DataFrame:
-        card = mine_cardinality(kb["kb_triples"])
+        # the per-(subject, predicate) object counts feed BOTH the mined
+        # distribution and the per-candidate existing-count — aggregate the
+        # KB once (ReuseExchange dedupes the shared scan+shuffle)
+        per_subj = per_subject_counts(kb["kb_triples"])
+        card = mine_cardinality(kb["kb_triples"], per_subj=per_subj)
         rng = mine_range(kb["kb_triples"], kb["entity_class"], kb["class_ancestor"])
-        out = cardinality_score(scored, card, kb["kb_triples"])
+        out = cardinality_score(scored, card, kb["kb_triples"], per_subj=per_subj)
         out = range_score(out, rng, kb["entity_class"])
         return merge_scores(out)
 

@@ -17,6 +17,13 @@ KG_SCALE_MASTER=local opts into the legacy in-process ladder
 diagnostic because its shared-heap GC term is exactly what executor
 mode removes; see BENCH/BASELINE.md.
 
+RUN-WINDOW HYGIENE: legs are wall-clock measurements on a shared box —
+never run a leg while anything else (the grading driver, pytest, another
+bench) is executing Spark jobs; a contaminated leg misreads as a
+10-20 pp efficiency shift (measured r4: an overlapped 4x2 leg showed
+1,625 s vs the clean ladder's 1,346 s). Snapshot the code first
+(`git archive` -> /dev/shm) so live edits cannot leak into a running leg.
+
 Usage:
     python tools/scaling_bench.py            # both legs + report
     python tools/scaling_bench.py --run 8    # single measured leg (internal)
@@ -191,7 +198,8 @@ def run_linking_once(cpus: int) -> dict:
     from kg_curation_spark.session import get_spark
     from kg_curation_spark.stages.candidates import generate_candidates
     from kg_curation_spark.stages.constraints import (
-        cardinality_score, merge_scores, mine_cardinality, mine_range, range_score,
+        cardinality_score, merge_scores, mine_cardinality, mine_range,
+        per_subject_counts, range_score,
     )
     from kg_curation_spark.stages.decide import decide, rank_predictions
     from kg_curation_spark.stages.extract import extract_triples
@@ -212,9 +220,10 @@ def run_linking_once(cpus: int) -> dict:
     assertions = extract_triples(repos)
     cand = generate_candidates(assertions, kb["entity_label"])
     scored = score_candidates(assertions, cand, kb["kb_triples"], kge)
-    card = mine_cardinality(kb["kb_triples"])
+    per_subj = per_subject_counts(kb["kb_triples"])
+    card = mine_cardinality(kb["kb_triples"], per_subj=per_subj)
     rng = mine_range(kb["kb_triples"], kb["entity_class"], kb["class_ancestor"])
-    outd = merge_scores(range_score(cardinality_score(scored, card, kb["kb_triples"]), rng, kb["entity_class"]))
+    outd = merge_scores(range_score(cardinality_score(scored, card, kb["kb_triples"], per_subj=per_subj), rng, kb["entity_class"]))
     n = decide(rank_predictions(outd)).count()
     wall = time.time() - t0
     spark.stop()
