@@ -883,7 +883,10 @@ def connected_components_star_query(spark, sf_dir):
     edges = c.join(n, c.c_nationkey == n.n_nationkey).select(
         F.col("c_name").alias("src"), F.col("n_name").alias("dst")
     )
-    return connected_components(edges, num_partitions=16)
+    # labels ARE the node names -> ordered-ids mode: no hash joins at
+    # init, no name-join/rep assembly; with no self-loops in this graph
+    # the output row set is identical
+    return connected_components(edges, num_partitions=16, ordered_ids=True)
 
 
 @q(
@@ -920,7 +923,9 @@ def neardup_clusters_query(spark, sf_dir):
         F.lpad(F.col("id_a").cast("string"), 6, "0").alias("src"),
         F.lpad(F.col("id_b").cast("string"), 6, "0").alias("dst"),
     )
-    return connected_components(edges, num_partitions=8)
+    # zero-padded ids: lexical order == numeric order, so ordered-ids mode
+    # yields the same min-id cluster labels without the hash-id round-trip
+    return connected_components(edges, num_partitions=8, ordered_ids=True)
 
 
 @q(

@@ -58,7 +58,9 @@ def test_freeze_stars_equivalent_on_mixed_graph(spark):
     edges += [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(30)]  # chain
     edges += [("bighub", f"bh{i:03d}") for i in range(100)]  # hub
     base = _run(spark, edges, freeze_stars=False)
-    frozen = _run(spark, edges, freeze_stars=True)
+    # freeze_min_edges=0 forces the freeze path — the adaptive gate would
+    # otherwise skip it at test scale (it only pays above ~1M active edges)
+    frozen = _run(spark, edges, freeze_stars=True, freeze_min_edges=0)
     assert frozen == base
 
 
@@ -75,9 +77,9 @@ def test_freeze_stars_random_graphs_equivalent(spark):
             for _ in range(320)
         ]
         base = _run(spark, edges, freeze_stars=False)
-        frozen = _run(spark, edges, freeze_stars=True)
+        frozen = _run(spark, edges, freeze_stars=True, freeze_min_edges=0)
         assert frozen == base, f"seed {seed}"
-        ordered = _run(spark, edges, ordered_ids=True)
+        ordered = _run(spark, edges, ordered_ids=True, freeze_min_edges=0)
         # ordered mode omits self-loop-only nodes (documented contract)
         iso = {n for n, c in base.items() if c == n and n not in ordered}
         assert {n: c for n, c in base.items() if n not in iso} == ordered, seed
