@@ -48,12 +48,15 @@ def get_spark(
         pkg_dir = os.path.dirname(os.path.abspath(__file__))
         # per-process unique dir: a fixed path would let two concurrent
         # sessions (or a scaling-bench child racing its parent) overwrite
-        # each other's archive while executors are still fetching it
+        # each other's archive while executors are still fetching it.
+        # atexit removes the dir at process exit so repeated sessions
+        # (tests, bench legs) never accumulate archives in the tempdir.
+        import atexit
+
+        zip_dir = tempfile.mkdtemp(prefix="kgcs_pyfiles_")
+        atexit.register(shutil.rmtree, zip_dir, ignore_errors=True)
         py_files = shutil.make_archive(
-            os.path.join(
-                tempfile.mkdtemp(prefix="kgcs_pyfiles_"),
-                "kg_curation_spark_pkg",
-            ),
+            os.path.join(zip_dir, "kg_curation_spark_pkg"),
             "zip",
             os.path.dirname(pkg_dir),
             os.path.basename(pkg_dir),

@@ -118,8 +118,24 @@ class CatalogTableSink:
             # catalog cannot run REPLACE TABLE AS SELECT. Anything else
             # (executor loss, OOM, quota) re-raises so a transient failure
             # never drop+retries away the previous committed snapshot.
+            # Match the STABLE error condition first (message wording
+            # varies across Spark versions), message substrings as backup.
+            cond = ""
+            for attr in ("getCondition", "getErrorClass"):
+                fn = getattr(ex, attr, None)
+                if fn is not None:
+                    try:
+                        cond = fn() or ""
+                        break
+                    except Exception:  # noqa: BLE001 - diagnostics only
+                        continue
             msg = str(ex)
-            if "REPLACE TABLE AS SELECT" not in msg and "RTAS" not in msg:
+            known_gap = (
+                cond.startswith("UNSUPPORTED_FEATURE")
+                or "REPLACE TABLE AS SELECT" in msg
+                or "RTAS" in msg
+            )
+            if not known_gap:
                 raise
             ctx.spark.sql(f"DROP TABLE IF EXISTS {self.table(name)}")
             w.create()

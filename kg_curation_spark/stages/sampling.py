@@ -65,9 +65,22 @@ def dictionary_encode(
     if n > 1:
         m = approx_rows if approx_rows is not None else d.count()
         p = max(1, m // (n * 64))
+        # defensive cap: an undersized approx_rows hint (stale table
+        # metadata) drives p toward 1 and would otherwise collect the
+        # whole distinct vocabulary to the driver. limit() bounds the
+        # collect at ~4x the target sample size; truncation only skews
+        # bucket SIZES, never id correctness — final ids are value-ordered
+        # dense for ANY contiguous-range boundary set. NULLs are excluded
+        # (sorted() cannot compare None; the bucket expression routes any
+        # NULL value to bucket 0 deterministically).
         sample = sorted(
             r[0]
-            for r in d.filter(F.pmod(F.xxhash64(col), F.lit(p)) == 0).collect()
+            for r in d.filter(
+                F.col(col).isNotNull()
+                & (F.pmod(F.xxhash64(col), F.lit(p)) == 0)
+            )
+            .limit(n * 256)
+            .collect()
         )
         step = max(1, len(sample) // n)
         bounds = sample[step::step][: n - 1]
