@@ -30,6 +30,98 @@ def test_fake_decode_deterministic(spark):
     assert sorted(map(str, a)) == sorted(map(str, b))
 
 
-def test_real_decode_raises_not_implemented(spark):
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+def test_real_decode_raises_for_compressed_formats(spark):
+    # the synthetic asset table's fake mimes have no pure-python decoder
+    with pytest.raises(Exception, match="NotImplementedError|PIL/ffmpeg"):
         extract_features(_media(spark), fake_decode=False).collect()
+
+
+def _wav_bytes(rate=8000, freq=440.0, n=800) -> bytes:
+    """A real 16-bit mono WAV payload, stdlib-encoded."""
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        samples = [
+            int(0.5 * 32767 * math.sin(2 * math.pi * freq * i / rate))
+            for i in range(n)
+        ]
+        w.writeframes(struct.pack(f"<{n}h", *samples))
+    return buf.getvalue()
+
+
+def _bmp_bytes(w=4, h=2) -> bytes:
+    """A real uncompressed 24-bpp bottom-up BMP: red left half, blue right."""
+    stride = ((w * 3 + 3) // 4) * 4
+    pixels = bytearray()
+    for _y in range(h):  # bottom-up rows
+        row = bytearray()
+        for x in range(w):
+            row += bytes([255, 0, 0] if x >= w // 2 else [0, 0, 255])  # BGR
+        row += b"\x00" * (stride - len(row))
+        pixels += row
+    header = (
+        b"BM"
+        + (54 + len(pixels)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pixels).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return bytes(header + pixels)
+
+
+def test_real_wav_and_bmp_decode_end_to_end(spark):
+    """REAL decode (no stub): a stdlib-encoded WAV and a handcrafted BMP
+    round-trip through the same Arrow mapInPandas plumbing."""
+    ppm = b"P6\n# cmt\n2 2\n255\n" + bytes(
+        [255, 255, 255, 0, 0, 0, 0, 0, 0, 255, 255, 255]
+    )
+    media = spark.createDataFrame(
+        [
+            ("w1", "audio", "audio/wav", _wav_bytes()),
+            ("i1", "image", "image/bmp", _bmp_bytes()),
+            ("i2", "image", "image/x-portable-pixmap", ppm),
+        ],
+        "media_id string, kind string, mime string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in extract_features(media, fake_decode=False).collect()}
+    # WAV: [duration_s, rate_khz, channels, rms, zcr, mean, max, min]
+    wf = rows["w1"]["feature"]
+    assert abs(wf[0] - 800 / 8000) < 1e-6 and wf[1] == 8.0 and wf[2] == 1.0
+    assert abs(wf[3] - 0.5 / 2**0.5) < 0.01  # sine RMS = A/sqrt(2)
+    assert 0.3 < wf[7] < 0.51 or wf[7] < -0.3  # swings negative
+    # BMP: [w, h, ch, mean_r, mean_g, mean_b, luma_mean, luma_std]
+    bf = rows["i1"]["feature"]
+    assert bf[:3] == [4.0, 2.0, 3.0]
+    assert abs(bf[3] - 0.5) < 1e-6 and bf[4] == 0.0 and abs(bf[5] - 0.5) < 1e-6
+    # PPM: 2 white + 2 black pixels -> channel means 0.5
+    pf = rows["i2"]["feature"]
+    assert pf[:3] == [2.0, 2.0, 3.0] and abs(pf[3] - 0.5) < 1e-6
+
+
+def test_decode_media_direct():
+    """Decoder unit checks without Spark: values, not just shapes."""
+    import numpy as np
+
+    from kg_curation_spark.multimodal import decode_media
+
+    bf = decode_media(_bmp_bytes(w=3, h=3), "image/bmp")
+    assert bf[0] == 3.0 and bf[1] == 3.0
+    wf = decode_media(_wav_bytes(n=160), "audio/wav")
+    assert abs(wf[0] - 160 / 8000) < 1e-6
+    assert np.all(np.isfinite(wf))
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG\r\n", "image/png")
