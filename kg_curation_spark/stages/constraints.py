@@ -71,30 +71,49 @@ def mine_range(
     con: most-specific classes of p's objects, rate = |objs of p in c| /
     |objs of p with any class|; gen: ancestors of con classes, same rate
     accounting (constraint_mining.py:71-119).
+
+    Most-specific membership is a property of the ENTITY alone — whether
+    class c is shadowed by a more specific class c' of the same entity
+    never depends on which predicate references the entity. So the
+    ancestor fan-out + anti-join run on the entity_class table directly
+    (entity-keyed, |entities| scale) instead of on the (p, entity, class)
+    product (predicate-fanout scale) as an earlier form did; the po join
+    then attaches predicates to the already-filtered classes. The class
+    hierarchy is a dimension table (hundreds of classes) — broadcast.
     """
     po = kb_triples.select("p", F.col("o").alias("entity")).distinct()
-    oc = po.join(entity_class, "entity")  # (p, entity, class)
+    anc = class_ancestor.select(
+        F.col("class").alias("sub"), F.col("ancestor").alias("class")
+    )
 
-    # most-specific: drop class c if some other class c' of the same entity
-    # has c as ancestor
-    anc_of_other = (
-        oc.select("p", "entity", F.col("class").alias("sub"))
-        .join(
-            class_ancestor.select(
-                F.col("class").alias("sub"), F.col("ancestor").alias("class")
-            ),
-            "sub",
-        )
-        .select("p", "entity", "class")
+    # drop class c when some class of the same entity has c as ancestor
+    anc_of_entity = (
+        entity_class.select("entity", F.col("class").alias("sub"))
+        .join(F.broadcast(anc), "sub")
+        .select("entity", "class")
         .distinct()
     )
-    con = oc.join(anc_of_other, ["p", "entity", "class"], "left_anti")
+    ms_ec = entity_class.join(anc_of_entity, ["entity", "class"], "left_anti")
+    gen_ec = (
+        ms_ec.join(
+            F.broadcast(anc.withColumnRenamed("class", "__a")),
+            F.col("class") == F.col("sub"),
+        )
+        .select("entity", F.col("__a").alias("class"))
+        .distinct()
+    )
 
-    totals = oc.groupBy("p").agg(F.countDistinct("entity").alias("total"))
+    totals = (
+        po.join(entity_class.select("entity").distinct(), "entity")
+        .groupBy("p")
+        .agg(F.countDistinct("entity").alias("total"))
+    )
 
-    def rated(df: DataFrame, kind: str) -> DataFrame:
-        counts = df.groupBy("p", "class").agg(
-            F.countDistinct("entity").alias("cnt")
+    def rated(ec: DataFrame, kind: str) -> DataFrame:
+        counts = (
+            po.join(ec, "entity")
+            .groupBy("p", "class")
+            .agg(F.countDistinct("entity").alias("cnt"))
         )
         return counts.join(totals, "p").select(
             "p",
@@ -103,12 +122,7 @@ def mine_range(
             (F.col("cnt") / F.col("total")).alias("rate"),
         )
 
-    gen = (
-        con.join(class_ancestor, "class")
-        .select("p", "entity", F.col("ancestor").alias("class"))
-        .distinct()
-    )
-    return rated(con, "con").unionByName(rated(gen, "gen"))
+    return rated(ms_ec, "con").unionByName(rated(gen_ec, "gen"))
 
 
 # ---------------------------------------------------------------------------
