@@ -69,12 +69,31 @@ def attach_features(
     a = assertions.withColumn("literal_norm", normalize_text("literal"))
     cand = a.join(candidates, "literal_norm")  # fan-out join; AQE skew-split
 
-    # LinkFeat: any KB edge between subject and candidate, either direction
-    pairs = kb_triples.select(F.col("s").alias("subject"), F.col("o").alias("entity")).unionByName(
-        kb_triples.select(F.col("o").alias("subject"), F.col("s").alias("entity"))
-    ).distinct().withColumn("link_feat", F.lit(1.0))
-    cand = cand.join(pairs, ["subject", "entity"], "left").fillna(
-        {"link_feat": 0.0}
+    # LinkFeat: any KB edge between subject and candidate, either direction.
+    # "Either direction" means the UNORDERED pair is what's probed, so the
+    # probe set is keyed on (least, greatest) — one scan and an |E|-row
+    # distinct instead of symmetrize-then-distinct, which doubled the scan
+    # and pushed 2|E| rows through the shuffle (the score stage's measured
+    # 2->8-core drag at 32M quads was exactly such vocabulary-scale
+    # string-keyed exchanges).
+    # (least/greatest skip NULLs, which would collapse (x, NULL) to (x, x)
+    # and falsely match self-loop edges; a NULL equi-join key never matches,
+    # so filter/propagate NULLs explicitly to keep semantics identical.)
+    pairs = (
+        kb_triples.filter(F.col("s").isNotNull() & F.col("o").isNotNull())
+        .select(
+            F.least("s", "o").alias("__lp_a"), F.greatest("s", "o").alias("__lp_b")
+        )
+        .distinct()
+        .withColumn("link_feat", F.lit(1.0))
+    )
+    both = F.col("subject").isNotNull() & F.col("entity").isNotNull()
+    cand = (
+        cand.withColumn("__lp_a", F.when(both, F.least("subject", "entity")))
+        .withColumn("__lp_b", F.when(both, F.greatest("subject", "entity")))
+        .join(pairs, ["__lp_a", "__lp_b"], "left")
+        .drop("__lp_a", "__lp_b")
+        .fillna({"link_feat": 0.0})
     )
 
     # NodeFeat: #{(p, o=entity)} > 1 in KB (util_encode.py:105-109)
