@@ -216,3 +216,36 @@ def test_complex_reduces_to_distmult_when_imaginary_zero(spark):
     }
     assert abs(out[1][0] - out[1][1]) < 1e-9  # zero-imag == DistMult
     assert abs(out[2][0] - out[3][0]) > 1e-6  # asymmetric under h<->t swap
+
+
+def test_linkfeat_unordered_pair_probe(spark):
+    """attach_features' link_feat probes the UNORDERED (subject, entity)
+    pair against KB edges in either direction; a NULL on either side never
+    matches (equi-join semantics), even when the KB holds a self-loop that
+    a NULL-skipping least/greatest key would collapse onto."""
+    from kg_curation_spark.stages.score import attach_features
+
+    kb = spark.createDataFrame(
+        [("a", "p1", "b"), ("c", "p2", "a"), ("x", "p3", "x")],
+        "s string, p string, o string",
+    )
+    assertions = spark.createDataFrame(
+        [("b", "p1", "l1"), ("a", "p1", "l2"), ("a", "p1", "l3"), ("x", "p1", "l4")],
+        "subject string, predicate string, literal string",
+    )
+    candidates = spark.createDataFrame(
+        [("l1", "a", 0.5, 1), ("l2", "c", 0.5, 1), ("l3", "b", 0.5, 1),
+         ("l4", None, 0.5, 1)],
+        "literal_norm string, entity string, lex_score double, rank int",
+    )
+    kge = spark.createDataFrame(
+        [("a", "e", [0.1] * 16)], "id string, kind string, vec array<float>"
+    )
+    out = {
+        (r["subject"], r["entity"]): r["link_feat"]
+        for r in attach_features(assertions, candidates, kb, kge).collect()
+    }
+    assert out[("b", "a")] == 1.0  # reverse direction of (a, p1, b)
+    assert out[("a", "c")] == 1.0  # reverse direction of (c, p2, a)
+    assert out[("a", "b")] == 1.0  # forward direction
+    assert out[("x", None)] == 0.0  # NULL never matches the (x,p3,x) self-loop
