@@ -113,10 +113,13 @@ def _cc_loop(
             )
             # lazy localCheckpoint: truncates the part's lineage (it
             # references this round's checkpointed g) without paying an
-            # extra job per round — the final labels action materializes
-            # each part exactly once instead of replaying every round's
-            # freeze aggregation per downstream consumer
-            frozen_parts.append(frozen.localCheckpoint(eager=False))
+            # extra job per round. The anti-join below consumes the SAME
+            # checkpointed handle, so the next round's materialization job
+            # computes the freeze aggregation once and pins the result; the
+            # final labels action then reuses the stored RDD instead of
+            # replaying any round's freeze joins
+            frozen = frozen.localCheckpoint(eager=False)
+            frozen_parts.append(frozen)
             # self-contained ⇒ dropping rows whose u is frozen removes both
             # directions of every frozen edge
             g = g.join(frozen.select("u"), "u", "left_anti")
