@@ -13,6 +13,18 @@ OUT="$REPO/tools/out"
 mkdir -p "$OUT"
 rm -rf "$SNAP" "$EVLOG"
 mkdir -p "$SNAP"
+# tmpfs hygiene: the code snapshot is only needed while legs run; the
+# event log is moved to tools/out so repeated TAGs don't accumulate
+# RAM-backed copies (the 32M corpus at $KG_SCALE_CORPUS is intentionally
+# kept — reuse across ladders skips a ~15 min prepare step)
+cleanup() {
+  rm -rf "$SNAP"
+  if [ -d "$EVLOG" ]; then
+    rm -rf "$OUT/evlog_${TAG}"
+    mv "$EVLOG" "$OUT/evlog_${TAG}" 2>/dev/null || rm -rf "$EVLOG"
+  fi
+}
+trap cleanup EXIT
 git -C "$REPO" archive HEAD | tar -x -C "$SNAP"
 cd "$SNAP"
 KG_SCALE_QUADS="$QUADS" KG_SCALE_EVENTLOG="$EVLOG" \
