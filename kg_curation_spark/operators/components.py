@@ -47,7 +47,35 @@ def _cc_loop(
     type (longs or strings — the algorithm only needs a total order).
     -> (u, c): one row per node appearing in the symmetric graph,
     c = minimum node id of its component. Self-loop-only nodes are absent
-    (callers decide whether isolated nodes need rows)."""
+    (callers decide whether isolated nodes need rows).
+
+    Constraint propagation is disabled while the loop builds its
+    checkpoints (restored on exit): ``localCheckpoint`` captures the source
+    plan's constraint set into the LogicalRDD, and the loop's self-joins
+    leave constraints referencing pre-dedup attribute ids — the final
+    ``union`` over frozen parts then crashes Catalyst
+    (``UnionBase.rewriteConstraints: key not found: u#…``). With the conf
+    off at CAPTURE time the checkpoints store no origin constraints, so
+    downstream plans (re-)analyze cleanly with the conf back on. The loop
+    loses only inferred IsNotNull pushdowns on its own internal joins,
+    whose keys are never null by construction."""
+    spark = e.sparkSession
+    _CONF = "spark.sql.constraintPropagation.enabled"
+    conf_prev = spark.conf.get(_CONF, "true")
+    spark.conf.set(_CONF, "false")
+    try:
+        return _cc_loop_inner(e, num_partitions, max_iter, freeze_stars, freeze_min_edges)
+    finally:
+        spark.conf.set(_CONF, conf_prev)
+
+
+def _cc_loop_inner(
+    e: DataFrame,
+    num_partitions: int,
+    max_iter: int,
+    freeze_stars: bool,
+    freeze_min_edges: int,
+) -> DataFrame:
 
     def _checkpoint_with_sig(df):
         """Materialize one round AND collect its edge-set signature in the
@@ -111,14 +139,16 @@ def _cc_loop(
                     )
                 )
             )
-            # lazy localCheckpoint: truncates the part's lineage (it
-            # references this round's checkpointed g) without paying an
-            # extra job per round. The anti-join below consumes the SAME
-            # checkpointed handle, so the next round's materialization job
-            # computes the freeze aggregation once and pins the result; the
-            # final labels action then reuses the stored RDD instead of
-            # replaying any round's freeze joins
-            frozen = frozen.localCheckpoint(eager=False)
+            # EAGER localCheckpoint: the frozen part must become a stable
+            # LogicalRDD leaf before the final union over frozen_parts —
+            # lazy checkpoints (eager=False) keep the original plan with
+            # attribute ids that UnionBase.rewriteConstraints can no longer
+            # resolve once constraint propagation rewrites the union
+            # (Catalyst `key not found: u#…`). The cost is one small job
+            # per freezing round (the part is the just-finished components
+            # only), and the anti-join below then consumes the pinned RDD
+            # instead of replaying the freeze joins.
+            frozen = frozen.localCheckpoint()
             frozen_parts.append(frozen)
             # self-contained ⇒ dropping rows whose u is frozen removes both
             # directions of every frozen edge
