@@ -85,11 +85,16 @@ def dictionary_encode(
         step = max(1, len(sample) // n)
         bounds = sample[step::step][: n - 1]
     if bounds:
-        barr = F.array(*[F.lit(b) for b in bounds])
-        pid = F.aggregate(
-            barr,
-            F.lit(0),
-            lambda acc, b: acc + F.when(F.col(col) > b, 1).otherwise(0),
+        # plain chained whens, NOT an F.aggregate lambda: a higher-order
+        # function capturing the outer column by name miscompiles when the
+        # encode input shares lineage with another branch of the caller's
+        # plan (self-join attribute dedup leaves the lambda's outer
+        # reference pointing at a pruned attribute —
+        # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at bind time). The sum form
+        # is also whole-stage-codegen-friendly: no array materialization.
+        pid = sum(
+            (F.when(F.col(col) > b, 1).otherwise(0) for b in bounds),
+            start=F.lit(0),
         )
     else:
         pid = F.lit(0)

@@ -69,7 +69,10 @@ def test_dictionary_encode_no_cache_leak_and_value_buckets(spark):
         assert {r["x"]: r["id"] for r in out.collect()} == {
             f"v{i}_{j}": k for k, j in enumerate(sorted(range(50), key=lambda j: f"v{i}_{j}"))
         }
-    assert n_persistent() == base, "dictionary_encode pinned cache blocks"
+    # <=, not ==: the shared session's count can legitimately DECREASE
+    # mid-test when other tests' localCheckpoint RDDs get released; the
+    # property guarded here is only that dictionary_encode pins nothing NEW
+    assert n_persistent() <= base, "dictionary_encode pinned cache blocks"
     # no sampler-dependent range exchange anywhere in the plan
     out = dictionary_encode(
         spark.createDataFrame([(f"w{j}",) for j in range(100)], "x string"), "x"
