@@ -4,14 +4,15 @@ with typed metadata, processed through Arrow-batched mapInPandas.
 Decode support is tiered by what the container provides:
 
   * REAL decoders (pure python/numpy, no external libs): WAV (stdlib
-    ``wave``) for audio; uncompressed 24/32-bpp BMP and binary PPM (P6)
-    for images — see ``decode_media``. These cover one genuine
-    byte->samples / byte->pixels path per modality family, exercised by
-    tests on real payloads.
-  * Compressed formats (JPEG/PNG/MP3/MP4…) need PIL/ffmpeg, which are NOT
-    in this container — those raise NotImplementedError at the decode
-    site (declared gap). ``fake_decode=True`` keeps the deterministic
-    sha-seeded stub for harness use.
+    ``wave``) for audio; uncompressed 24/32-bpp BMP, binary PPM (P6), and
+    COMPRESSED non-interlaced 8-bit PNG (stdlib zlib inflate + scanline
+    unfilter) for images — see ``decode_media``. Exercised by tests on
+    real payloads, including PNGs using all five filter types.
+  * Remaining formats (JPEG/MP3/MP4, interlaced/16-bit PNG…) need
+    PIL/ffmpeg, which are NOT in this container — those raise
+    NotImplementedError at the decode site (declared gap).
+    ``fake_decode=True`` keeps the deterministic sha-seeded stub for
+    harness use.
 
 The Spark-side plumbing — binary schema, metadata struct,
 partition-preserving UDF signature, Arrow batch shape — is identical for
@@ -133,6 +134,89 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return _pixel_feature(px, w, abs(h))
 
 
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Real image decode: non-interlaced 8-bit-depth PNG, pure
+    python/numpy — chunk walk, stdlib zlib inflate, scanline unfilter
+    (all five filter types), palette/gray/alpha expansion to RGB.
+    Interlaced (Adam7) and 16-bit-depth PNGs stay NotImplementedError."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr, plte = 8, bytearray(), None, None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + CRC
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, interlace = ihdr[8], ihdr[9], ihdr[12]
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or interlace != 0 or nch is None:
+        raise NotImplementedError(
+            f"PNG depth={depth} color={ctype} interlace={interlace} needs PIL"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=p + 1).copy()
+        p += 1 + stride
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up — whole-row vectorizable (uint8 wraps mod 256)
+            cur = line + prev
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need the left pixel
+            cur = line
+            li, pv = cur.astype(np.int32), prev.astype(np.int32)
+            for i in range(stride):
+                a = int(cur[i - nch]) if i >= nch else 0  # reconstructed left
+                if f == 1:
+                    li[i] = (li[i] + a) & 0xFF
+                elif f == 3:
+                    li[i] = (li[i] + ((a + pv[i]) >> 1)) & 0xFF
+                else:
+                    b = pv[i]
+                    c = int(pv[i - nch]) if i >= nch else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    li[i] = (li[i] + pr) & 0xFF
+                cur[i] = li[i]
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur
+        prev = out[y]
+    px = out.reshape(h, w, nch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        px = pal[px[..., 0]]
+    elif ctype == 0:
+        px = np.repeat(px, 3, axis=2)
+    elif ctype == 4:
+        px = np.repeat(px[..., :1], 3, axis=2)
+    elif ctype == 6:
+        px = px[..., :3]
+    return _pixel_feature(px, w, h)
+
+
 def _decode_ppm(payload: bytes) -> np.ndarray:
     """Real image decode: binary PPM (P6), pure python header + numpy."""
     if payload[:2] != b"P6":
@@ -165,6 +249,7 @@ _REAL_DECODERS = {
     "audio/wav": _decode_wav,
     "audio/x-wav": _decode_wav,
     "image/bmp": _decode_bmp,
+    "image/png": _decode_png,
     "image/x-portable-pixmap": _decode_ppm,
 }
 
@@ -176,7 +261,7 @@ def decode_media(payload: bytes, mime: str) -> np.ndarray:
     if dec is None:
         raise NotImplementedError(
             f"decode for {mime!r} requires PIL/ffmpeg — not available in "
-            "this environment (real decoders: WAV, BMP, P6 PPM); pass "
+            "this environment (real decoders: WAV, BMP, P6 PPM, PNG); pass "
             "fake_decode=True for the deterministic stub"
         )
     return dec(payload)
