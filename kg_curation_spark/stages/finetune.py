@@ -6,11 +6,20 @@ test triples. SURVEY §7.2(c) prescribes ``applyInPandas`` so every (p, c)
 group fine-tunes in parallel on its own executor slot — the Spark-native
 replacement for the reference's serial per-class loop.
 
-The model inside the group is a deterministic stand-in (Fisher-style
-linear discriminant: w = mean(POS) - mean(NEG), midpoint bias, sigmoid
-margin), chosen because it is order-independent and closed-form — the
-plumbing (group isolation, Arrow batches, schema contract) is the
-deliverable; a TF/torch fine-tune drops into ``_fit_score`` unchanged.
+Two per-group models:
+
+  * ``model="logistic"`` (default) — a REAL trained model: deterministic
+    L2-regularized logistic regression (ml.fit_logistic, IRLS) fit on the
+    group's POS/NEG samples, the numpy replacement for the reference's
+    per-class TF fine-tune (order-independent: zero init + Newton steps
+    depend only on the sample SET).
+  * ``model="fisher"`` — the closed-form Fisher-style discriminant
+    (w = mean(POS) - mean(NEG), midpoint bias, sigmoid margin), kept
+    because it is SQL-expressible: the driver's DuckDB oracle row
+    (q:finetune_per_class_scores) replays it exactly, value-checking the
+    group-isolation plumbing that both models share.
+
+A TF/torch fine-tune drops into ``_fit_score`` unchanged.
 """
 
 from __future__ import annotations
@@ -28,13 +37,18 @@ def finetune_predict_per_class(
     feature_cols: list[str],
     keys: list[str] = ("predicate", "class"),
     out_cols: list[str] = ("subject", "literal"),
+    model: str = "logistic",
 ) -> DataFrame:
     """samples: keys + feature_cols + is_pos (labeled particular samples).
     tests:   keys + out_cols + feature_cols (triples to score per group).
     -> tests + score — each (p, c) group fitted on ITS samples only.
 
     Groups with no samples (alpha-gated away) predict nothing, matching
-    prediction.py:71-73 ('class ignored').
+    prediction.py:71-73 ('class ignored'). model: 'logistic' (trained,
+    default) or 'fisher' (closed-form, oracle-replayable) — see module
+    docstring. Groups with no NEGATIVES fall back to the Fisher form for
+    both models (a one-class logistic is degenerate; the discriminant's
+    mu_neg = 0 prior matches the reference's treat-unknown-as-origin).
     """
     keys = list(keys)
     out_cols = list(out_cols)
@@ -59,6 +73,9 @@ def finetune_predict_per_class(
         + [StructField("score", DoubleType())]
     )
 
+    if model not in ("logistic", "fisher"):
+        raise ValueError(f"unknown finetune model {model!r}")
+
     def _fit_score(pdf: pd.DataFrame) -> pd.DataFrame:
         tr = pdf[pdf["__sample"]]
         te = pdf[~pdf["__sample"]]
@@ -69,12 +86,18 @@ def finetune_predict_per_class(
         pos, neg = x_tr[y], x_tr[~y]
         if len(pos) == 0:
             return pd.DataFrame(columns=[f.name for f in schema.fields])
-        mu_pos = pos.mean(axis=0)
-        mu_neg = neg.mean(axis=0) if len(neg) else np.zeros_like(mu_pos)
-        w = mu_pos - mu_neg
-        b = -float(w @ ((mu_pos + mu_neg) / 2.0))
         x_te = te[feature_cols].to_numpy(dtype="float64")
-        z = x_te @ w + b
+        if model == "logistic" and len(neg) > 0:
+            from ..ml import fit_logistic
+
+            wb = fit_logistic(x_tr, y.astype("float64"))
+            z = x_te @ wb[:-1] + wb[-1]
+        else:
+            mu_pos = pos.mean(axis=0)
+            mu_neg = neg.mean(axis=0) if len(neg) else np.zeros_like(mu_pos)
+            w = mu_pos - mu_neg
+            b = -float(w @ ((mu_pos + mu_neg) / 2.0))
+            z = x_te @ w + b
         out = te[keys + out_cols].copy()
         out["score"] = 1.0 / (1.0 + np.exp(-z))
         return out

@@ -40,9 +40,34 @@ def run_pipeline(
     force: bool = False,
     kge_entity_rows: int | None = None,
     vector_features: bool = False,
+    learn_weights: bool = False,
 ) -> PipelineContext:
-    """Returns the context; final graph at ctx.ran[-1].df."""
+    """Returns the context; final graph at ctx.ran[-1].df.
+
+    learn_weights=True trains the M8 plausibility logistic on
+    self-supervised KB pos/neg pairs (ml.train_plausibility_weights —
+    the reference's train-then-predict shape, util_nn.py:11-108) as its
+    own checkpointed stage, replacing the shipped default weights. Off by
+    default in the throughput path: training adds a fixed ~bounded-sample
+    cost per run that repeat pipelines amortize by persisting the tiny
+    weight table once and passing it back in.
+    """
     ctx = PipelineContext(spark=spark, workdir=workdir, force=force)
+    model_w = None
+    if learn_weights:
+        from ..ml import train_plausibility_weights, weights_from_df, weights_to_df
+
+        wdf = ctx.stage(
+            "train_model",
+            lambda: weights_to_df(
+                spark,
+                train_plausibility_weights(
+                    kb["kb_triples"], kb["entity_label"], kge,
+                    kge_entity_rows=kge_entity_rows,
+                ),
+            ),
+        )
+        model_w = weights_from_df(wdf)
 
     assertions = ctx.stage(
         "extract",
@@ -74,6 +99,7 @@ def run_pipeline(
             # row count threaded from caller metadata (Iceberg manifest /
             # stage lineage) — saves the broadcast-budget probe job
             kge_entity_rows=kge_entity_rows,
+            model_w=model_w,
         ),
     )
 

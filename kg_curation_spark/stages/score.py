@@ -68,7 +68,19 @@ def attach_features(
     """assertions x candidates (on normalized literal) + KB feature joins."""
     a = assertions.withColumn("literal_norm", normalize_text("literal"))
     cand = a.join(candidates, "literal_norm")  # fan-out join; AQE skew-split
+    return join_pair_features(cand, kb_triples, kge, kge_entity_rows)
 
+
+def join_pair_features(
+    cand: DataFrame,
+    kb_triples: DataFrame,
+    kge: DataFrame,
+    kge_entity_rows: int | None = None,
+) -> DataFrame:
+    """KB feature joins over (subject, predicate, entity[, …]) pair rows —
+    shared by inference (attach_features) and training-pair construction
+    (ml.build_link_training_set), so learned weights see EXACTLY the
+    features the scorer applies them to."""
     # LinkFeat: any KB edge between subject and candidate, either direction.
     # "Either direction" means the UNORDERED pair is what's probed, so the
     # probe set is keyed on (least, greatest) — one scan and an |E|-row
@@ -336,13 +348,24 @@ def _stack(col: pd.Series, dim: int) -> np.ndarray:
     return out
 
 
-def _score_batches_fn(link_vocab: int | None = None, class_vocab: int | None = None):
+def _score_batches_fn(
+    link_vocab: int | None = None,
+    class_vocab: int | None = None,
+    model_w: "np.ndarray | None" = None,
+):
     """Factory for the Arrow scorer: TransE (F8) + plausibility logistic
     (M8) in ONE pass — the vector columns enter Python exactly once.
 
     link_vocab/class_vocab size the weight vectors for the SPARSE M2 form
     (link_idx/class_idx active-index arrays): the block contribution is a
-    scatter-gather W[idx].sum() per row instead of a dense matmul."""
+    scatter-gather W[idx].sum() per row instead of a dense matmul.
+
+    model_w: [w_features..., bias] in MODEL_FEATURES order — a LEARNED
+    weight vector (ml.train_plausibility_weights) or None for the shipped
+    default; the array is closure-captured, so Spark serializes it to the
+    executors with the UDF (the broadcast-variable pattern for small
+    weights)."""
+    w_model = MODEL_W if model_w is None else np.asarray(model_w, dtype="float64")
 
     def _score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -355,7 +378,7 @@ def _score_batches_fn(link_vocab: int | None = None, class_vocab: int | None = N
             d = np.abs(sv + rv - ov).mean(axis=1)
             pdf["emb_score"] = 1.0 / (1.0 + np.exp(-1.0 / np.maximum(d, 1e-9)))
             x = pdf[MODEL_FEATURES].to_numpy(dtype="float64")
-            z = x @ MODEL_W[:-1] + MODEL_W[-1]
+            z = x @ w_model[:-1] + w_model[-1]
             # M2 vector block enters the same logistic — the contract a
             # trained checkpoint plugs into. The deterministic stand-in
             # carries zero weights for the block so the scalar-feature
@@ -384,6 +407,7 @@ def apply_plausibility_model(
     scored: DataFrame,
     link_vocab: int | None = None,
     class_vocab: int | None = None,
+    model_w: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Batch inference over Arrow batches (mapInPandas) — M8 surface.
 
@@ -403,11 +427,13 @@ def apply_plausibility_model(
         + [StructField("emb_score", DoubleType()), StructField("model_score", DoubleType())]
     )
     return scored.mapInPandas(
-        _score_batches_fn(link_vocab, class_vocab), schema=schema
+        _score_batches_fn(link_vocab, class_vocab, model_w), schema=schema
     )
 
 
-def apply_plausibility_native(scored: DataFrame, dim: int = 16) -> DataFrame:
+def apply_plausibility_native(
+    scored: DataFrame, dim: int = 16, model_w: "np.ndarray | None" = None
+) -> DataFrame:
     """TransE (F8) + logistic stand-in (M8) as pure Column expressions —
     whole-stage codegen, no Arrow round-trip.
 
@@ -435,8 +461,9 @@ def apply_plausibility_native(scored: DataFrame, dim: int = 16) -> DataFrame:
     )
     emb = 1.0 / (1.0 + F.exp(-1.0 / F.greatest(d, F.lit(1e-9))))
     out = scored.withColumn("emb_score", emb)
-    z = F.lit(float(MODEL_W[-1]))
-    for w, c in zip(MODEL_W[:-1], MODEL_FEATURES):
+    w_model = MODEL_W if model_w is None else model_w
+    z = F.lit(float(w_model[-1]))
+    for w, c in zip(w_model[:-1], MODEL_FEATURES):
         z = z + float(w) * F.col(c)
     out = out.withColumn("model_score", 1.0 / (1.0 + F.exp(-z)))
     return out.drop(*[f.name for f in out.schema.fields if f.name.endswith("_vec")])
@@ -451,6 +478,7 @@ def score_candidates(
     vector_features: bool = False,
     max_vector_vocab: int = 256,
     kge_entity_rows: int | None = None,
+    model_w: "np.ndarray | None" = None,
 ) -> DataFrame:
     feats = attach_features(
         assertions, candidates, kb_triples, kge, kge_entity_rows=kge_entity_rows
@@ -486,7 +514,7 @@ def score_candidates(
             )
             # vector block materialized -> feed it through the Arrow model
             # surface (the M2 -> M8 contract a trained checkpoint uses)
-            return apply_plausibility_model(feats)
+            return apply_plausibility_model(feats, model_w=model_w)
         from .sampling import dictionary_encode
 
         pindex = dictionary_encode(kb_triples.select("p"), "p", "idx")
@@ -503,5 +531,6 @@ def score_candidates(
             feats,
             link_vocab=2 * n_p,
             class_vocab=(2 * (n_c or 0) + n_p) if cindex is not None else None,
+            model_w=model_w,
         )
-    return apply_plausibility_native(feats)
+    return apply_plausibility_native(feats, model_w=model_w)
