@@ -220,6 +220,75 @@ def noisy_or_query(spark, sf_dir):
 
 
 @q(
+    "range_score_fallback",  # A4 incl. classless mean fallback
+    # Full range_score semantics through the REAL stage code: noisy-or of
+    # matched con rates; 0 when the entity has classes but none match;
+    # mean(p's rates) when the entity is CLASSLESS and p has a constraint
+    # (validate_constraint.py:137-140). Customers play entities (1/3 made
+    # classless via custkey % 3), nations play classes, mktsegments play
+    # predicates; nations with key >= 12 get no constraint -> no-match path.
+    "WITH cn AS (SELECT c_name, c_custkey, c_mktsegment, n_name, n_nationkey "
+    "            FROM customer JOIN nation ON c_nationkey = n_nationkey), "
+    "rng AS (SELECT c_mktsegment AS p, n_name AS class, cnt * 1.0 / tot AS rate "
+    "        FROM (SELECT c_mktsegment, n_name, count(*) AS cnt FROM cn "
+    "              WHERE n_nationkey < 12 GROUP BY 1, 2) "
+    "        JOIN (SELECT c_mktsegment, count(*) AS tot FROM cn GROUP BY 1) "
+    "        USING (c_mktsegment)), "
+    "pmean AS (SELECT p, avg(rate) AS mean_rate FROM rng GROUP BY p), "
+    "ec AS (SELECT c_name AS entity, n_name AS class FROM cn WHERE c_custkey % 3 <> 0), "
+    "scored AS (SELECT c_mktsegment AS predicate, c_name AS entity FROM customer), "
+    "matched AS (SELECT s.predicate, s.entity, "
+    "                   1 - exp(sum(ln(1 - least(r.rate, 1 - 1e-12)))) AS nor "
+    "            FROM scored s JOIN ec ON ec.entity = s.entity "
+    "            JOIN rng r ON r.p = s.predicate AND r.class = ec.class "
+    "            GROUP BY 1, 2) "
+    "SELECT s.predicate, s.entity, "
+    "       round(CASE WHEN m.nor IS NOT NULL THEN m.nor "
+    "                  WHEN hc.entity IS NULL AND pm.mean_rate IS NOT NULL THEN pm.mean_rate "
+    "                  ELSE 0.0 END + 1e-9, 6) AS range_score "
+    "FROM scored s "
+    "LEFT JOIN (SELECT DISTINCT entity FROM ec) hc ON hc.entity = s.entity "
+    "LEFT JOIN matched m ON m.predicate = s.predicate AND m.entity = s.entity "
+    "LEFT JOIN pmean pm ON pm.p = s.predicate",
+)
+def range_score_fallback_query(spark, sf_dir):
+    from .stages.constraints import range_score
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cn = c.join(n, c.c_nationkey == n.n_nationkey)
+    scored = c.select(
+        F.col("c_name").alias("subject"),
+        F.col("c_mktsegment").alias("predicate"),
+        F.lit("x").alias("literal"),
+        F.col("c_name").alias("entity"),
+        F.lit(0.0).alias("model_score"),
+    )
+    ec = cn.filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_name").alias("entity"), F.col("n_name").alias("class")
+    )
+    seg_tot = cn.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("tot"))
+    rng = (
+        cn.filter(F.col("n_nationkey") < 12)
+        .groupBy("c_mktsegment", "n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(seg_tot, "c_mktsegment")
+        .select(
+            F.col("c_mktsegment").alias("p"),
+            F.lit("con").alias("kind"),
+            F.col("n_name").alias("class"),
+            (F.col("cnt") / F.col("tot")).alias("rate"),
+        )
+    )
+    out = range_score(scored, rng, ec)
+    return out.select(
+        "predicate",
+        "entity",
+        F.round(F.col("range_score") + 1e-9, 6).alias("range_score"),
+    )
+
+
+@q(
     "score_merge",  # J8: join two score tables, missing -> 0, mean
     "WITH s1 AS (SELECT l_partkey AS k, round(avg(l_discount) + 1e-9, 6) AS sc1 "
     "            FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1), "
@@ -885,8 +954,13 @@ def connected_components_star_query(spark, sf_dir):
     )
     # labels ARE the node names -> ordered-ids mode: no hash joins at
     # init, no name-join/rep assembly; with no self-loops in this graph
-    # the output row set is identical
-    return connected_components(edges, num_partitions=16, ordered_ids=True)
+    # the output row set is identical. freeze_min_edges=0 FORCES the
+    # star-freeze path through this oracle row every round — the adaptive
+    # gate (engage >= 1M active edges) would otherwise leave the
+    # production-scale code path without a correctness signal.
+    return connected_components(
+        edges, num_partitions=16, ordered_ids=True, freeze_min_edges=0
+    )
 
 
 @q(
@@ -1206,7 +1280,10 @@ def finetune_per_class_scores_query(spark, sf_dir):
         F.col("c_custkey").cast("string").alias("subject"),
         F.col("c_name").alias("literal"), "x",
     )
-    out = finetune_predict_per_class(samples, tests, ["x"])
+    # fisher: the SQL-expressible closed form this oracle replays; the
+    # default trained-logistic model is pinned by pytest (test_finetune)
+    # since IRLS is not expressible in one DuckDB query
+    out = finetune_predict_per_class(samples, tests, ["x"], model="fisher")
     return out.select(
         "predicate", "class", "subject", "literal",
         F.round(F.col("score") + 1e-9, 6).alias("score"),
@@ -1221,62 +1298,38 @@ _LINKFEAT_T_SQL = (
 
 
 @q(
-    "linkfeat_vector",  # M2 LinkFeat 2|P| bit-vector (util_encode.py:129-139)
-    _LINKFEAT_T_SQL
-    + "SELECT s, p, o, concat_ws(';', "
-    "  (p <> 'p0' AND EXISTS(SELECT 1 FROM t e WHERE e.s = tgt.s AND e.p = 'p0' AND e.o = tgt.o))::int, "
-    "  (p <> 'p1' AND EXISTS(SELECT 1 FROM t e WHERE e.s = tgt.s AND e.p = 'p1' AND e.o = tgt.o))::int, "
-    "  (p <> 'p2' AND EXISTS(SELECT 1 FROM t e WHERE e.s = tgt.s AND e.p = 'p2' AND e.o = tgt.o))::int, "
-    "  (p <> 'p0' AND EXISTS(SELECT 1 FROM t e WHERE e.s = tgt.o AND e.p = 'p0' AND e.o = tgt.s))::int, "
-    "  (p <> 'p1' AND EXISTS(SELECT 1 FROM t e WHERE e.s = tgt.o AND e.p = 'p1' AND e.o = tgt.s))::int, "
-    "  (p <> 'p2' AND EXISTS(SELECT 1 FROM t e WHERE e.s = tgt.o AND e.p = 'p2' AND e.o = tgt.s))::int"
-    ") AS link_vec FROM tgt",
-)
-def linkfeat_vector_query(spark, sf_dir):
-    from .stages.score import graph_feature_vectors
-
-    li = _t(spark, sf_dir, "lineitem")
-    t = li.select(
-        F.col("l_orderkey").cast("string").alias("s"),
-        F.concat(F.lit("p"), (F.col("l_linenumber") % 3).cast("string")).alias("p"),
-        F.col("l_suppkey").cast("string").alias("o"),
-    ).distinct()
-    tgt = t.filter((F.col("p") == "p0") & (F.col("s").cast("bigint") < 500))
-    cand = tgt.select(
-        F.col("s").alias("subject"), F.col("p").alias("predicate"),
-        F.col("o").alias("entity"),
-    )
-    vec = graph_feature_vectors(cand, t.toDF("s", "p", "o"), ["p0", "p1", "p2"])
-    return vec.select(
-        F.col("subject").alias("s"), F.col("predicate").alias("p"),
-        F.col("entity").alias("o"),
-        F.array_join(
-            F.transform(F.col("link_vec"), lambda x: x.cast("int").cast("string")),
-            ";",
-        ).alias("link_vec"),
-    )
-
-
-@q(
-    "linkfeat_sparse_indices",  # M2 sparse form: active LinkFeat indices
+    "linkfeat_vector",  # M2 LinkFeat: dense 2|P| bit-vector AND sparse
+    # active-index form in ONE row (both code paths run and must agree
+    # with the oracle independently — a mismatch in either column fails
+    # the hash). Dense: util_encode.py:129-139; sparse: auto-switch form.
     _LINKFEAT_T_SQL
     + ", fwd AS (SELECT s, o, array_agg(DISTINCT replace(p, 'p', '')::bigint) AS f "
     "           FROM t GROUP BY s, o), "
     "bwd AS (SELECT s, o, array_agg(DISTINCT replace(p, 'p', '')::bigint) AS b "
     "        FROM t GROUP BY s, o) "
     # coalesce: DuckDB's array_to_string([]) is NULL, Spark's array_join is ''
-    "SELECT tgt.s, tgt.p, tgt.o, coalesce(array_to_string(list_sort(list_concat("
+    "SELECT tgt.s, tgt.p, tgt.o, concat_ws(';', "
+    "  (tgt.p <> 'p0' AND EXISTS(SELECT 1 FROM t e WHERE e.s = tgt.s AND e.p = 'p0' AND e.o = tgt.o))::int, "
+    "  (tgt.p <> 'p1' AND EXISTS(SELECT 1 FROM t e WHERE e.s = tgt.s AND e.p = 'p1' AND e.o = tgt.o))::int, "
+    "  (tgt.p <> 'p2' AND EXISTS(SELECT 1 FROM t e WHERE e.s = tgt.s AND e.p = 'p2' AND e.o = tgt.o))::int, "
+    "  (tgt.p <> 'p0' AND EXISTS(SELECT 1 FROM t e WHERE e.s = tgt.o AND e.p = 'p0' AND e.o = tgt.s))::int, "
+    "  (tgt.p <> 'p1' AND EXISTS(SELECT 1 FROM t e WHERE e.s = tgt.o AND e.p = 'p1' AND e.o = tgt.s))::int, "
+    "  (tgt.p <> 'p2' AND EXISTS(SELECT 1 FROM t e WHERE e.s = tgt.o AND e.p = 'p2' AND e.o = tgt.s))::int"
+    ") AS link_vec, "
+    "coalesce(array_to_string(list_sort(list_concat("
     "  list_filter(coalesce(fwd.f, []), x -> x <> replace(tgt.p, 'p', '')::bigint), "
     "  list_transform(list_filter(coalesce(bw.b, []), "
     "    x -> x <> replace(tgt.p, 'p', '')::bigint), x -> x + 3))), ';'), '') AS link_idx "
     "FROM tgt LEFT JOIN fwd ON fwd.s = tgt.s AND fwd.o = tgt.o "
     "LEFT JOIN bwd bw ON bw.s = tgt.o AND bw.o = tgt.s",
 )
-def linkfeat_sparse_indices_query(spark, sf_dir):
-    """Sparse M2: 'p0'..'p2' dictionary-encode (value-ordered) to 0..2, so
-    the active indices are directly comparable to the dense bit positions."""
+def linkfeat_vector_query(spark, sf_dir):
+    """Dense M2 (graph_feature_vectors) joined with the sparse form
+    (graph_feature_vectors_sparse; 'p0'..'p2' dictionary-encoded
+    value-ordered to 0..2 so active indices align with dense bit
+    positions) on the candidate key — one oracle row checks both."""
     from .stages.sampling import dictionary_encode
-    from .stages.score import graph_feature_vectors_sparse
+    from .stages.score import graph_feature_vectors, graph_feature_vectors_sparse
 
     li = _t(spark, sf_dir, "lineitem")
     t = li.select(
@@ -1289,11 +1342,17 @@ def linkfeat_sparse_indices_query(spark, sf_dir):
         F.col("s").alias("subject"), F.col("p").alias("predicate"),
         F.col("o").alias("entity"),
     )
+    dense = graph_feature_vectors(cand, t.toDF("s", "p", "o"), ["p0", "p1", "p2"])
     pindex = dictionary_encode(t.select("p"), "p", "idx")
-    vec = graph_feature_vectors_sparse(cand, t, pindex, n_properties=3)
-    return vec.select(
+    sparse = graph_feature_vectors_sparse(cand, t, pindex, n_properties=3)
+    both = dense.join(sparse, ["subject", "predicate", "entity"])
+    return both.select(
         F.col("subject").alias("s"), F.col("predicate").alias("p"),
         F.col("entity").alias("o"),
+        F.array_join(
+            F.transform(F.col("link_vec"), lambda x: x.cast("int").cast("string")),
+            ";",
+        ).alias("link_vec"),
         F.array_join(
             F.transform(F.col("link_idx"), lambda x: x.cast("string")), ";"
         ).alias("link_idx"),

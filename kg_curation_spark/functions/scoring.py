@@ -135,8 +135,15 @@ def with_transh_score(
 
 
 def noisy_or(prob: Column) -> Column:
-    """Aggregate: 1 - prod(1 - p). Use inside agg()."""
-    return 1.0 - F.exp(F.sum(F.log1p(-F.least(prob, F.lit(1.0 - 1e-12)))))
+    """Aggregate: 1 - prod(1 - p). Use inside agg().
+
+    Null-transparent: null inputs contribute nothing (sum skips nulls) and
+    an all-null group yields null, so callers can distinguish "no matched
+    rate" from a real score. The cap must be guarded — ``least(NULL, cap)``
+    would otherwise SKIP the null and feed the cap (≈1.0) into the product.
+    """
+    capped = F.when(prob.isNotNull(), F.least(prob, F.lit(1.0 - 1e-12)))
+    return 1.0 - F.exp(F.sum(F.log1p(-capped)))
 
 
 def sigmoid(x: Column) -> Column:

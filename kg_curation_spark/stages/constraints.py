@@ -14,8 +14,9 @@ Validation (validate_constraint.py:48-216):
 
   card_score  piecewise over (max_n, existing object count, rate dist) [A5]
   range_score noisy-or of rates of candidate's matching classes;
-              0 when no class matches; (reference also has a mean
-              fallback for classless entities — kept)               [A4]
+              0 when the entity HAS classes but none match; mean of
+              the predicate's con rates when the entity has NO
+              classes at all (validate_constraint.py:137-140)       [A4]
   final = (model_score + (card_score + range_score)/2) / 2           [J8]
 
 All pure DataFrame aggregations — partial+final combinable, no UDFs.
@@ -206,18 +207,41 @@ def range_score(
     it by a 4-wide-string row key, and joined the fact again on that key —
     three fact-sized shuffles where one narrow-keyed shuffle suffices
     (measured the constrain stage's 2→8-core scaling drag at 32M quads).
+
+    Classless fallback (validate_constraint.py:137-140): an entity with NO
+    entity_class rows scores mean(p's con rates) when p has a constraint —
+    not 0. Fused into the SAME (predicate, entity) aggregation: the
+    entity_class join flips to LEFT so classless entities keep a row with
+    n_cls = 0, and noisy_or over an all-null rate column is null (sum
+    ignores nulls), cleanly separating "no class" / "classes, none match" /
+    "matched". p_mean is a per-predicate dimension — broadcast.
     """
     con = rng.filter(F.col("kind") == "con").select(
         F.col("p").alias("predicate"), "class", "rate"
     )
+    p_mean = con.groupBy("predicate").agg(F.avg("rate").alias("__mean_rate"))
     pe = scored.select("predicate", "entity").distinct()
-    matches = (
-        pe.join(entity_class, "entity")
-        .join(con, ["predicate", "class"])
+    pe_agg = (
+        pe.join(entity_class, "entity", "left")
+        .join(F.broadcast(con), ["predicate", "class"], "left")
         .groupBy("predicate", "entity")
-        .agg(noisy_or(F.col("rate")).alias("range_score"))
+        .agg(
+            F.count("class").alias("__n_cls"),
+            noisy_or(F.col("rate")).alias("__nor"),
+        )
     )
-    return scored.join(matches, ["predicate", "entity"], "left").fillna(
+    pe_scores = pe_agg.join(F.broadcast(p_mean), "predicate", "left").select(
+        "predicate",
+        "entity",
+        F.when(F.col("__nor").isNotNull(), F.col("__nor"))
+        .when(
+            (F.col("__n_cls") == 0) & F.col("__mean_rate").isNotNull(),
+            F.col("__mean_rate"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("range_score"),
+    )
+    return scored.join(pe_scores, ["predicate", "entity"], "left").fillna(
         {"range_score": 0.0}
     )
 
