@@ -62,6 +62,62 @@ KG_QUADS = int(os.environ.get("KG_BENCH_QUADS", "20000"))
 REPEATS = int(os.environ.get("KG_BENCH_REPEATS", "3"))
 
 
+def _linkfeat_inputs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    t = li.select(
+        F.col("l_orderkey").cast("string").alias("s"),
+        F.concat(F.lit("p"), (F.col("l_linenumber") % 3).cast("string")).alias("p"),
+        F.col("l_suppkey").cast("string").alias("o"),
+    ).distinct()
+    tgt = t.filter((F.col("p") == "p0") & (F.col("s").cast("bigint") < 500))
+    cand = tgt.select(
+        F.col("s").alias("subject"), F.col("p").alias("predicate"),
+        F.col("o").alias("entity"),
+    )
+    return t, cand
+
+
+def _linkfeat_dense_only(spark, sf_dir):
+    """Bench override: the registry's merged `linkfeat_vector` row runs
+    BOTH the dense and sparse M2 forms and joins them (correctness
+    harness). The bench keeps timing each form alone, as production
+    would run it — same keys as the pre-merge rows."""
+    from kg_curation_spark.stages.score import graph_feature_vectors
+
+    t, cand = _linkfeat_inputs(spark, sf_dir)
+    return graph_feature_vectors(cand, t, ["p0", "p1", "p2"])
+
+
+def _linkfeat_sparse_only(spark, sf_dir):
+    from kg_curation_spark.stages.sampling import dictionary_encode
+    from kg_curation_spark.stages.score import graph_feature_vectors_sparse
+
+    t, cand = _linkfeat_inputs(spark, sf_dir)
+    pindex = dictionary_encode(t.select("p"), "p", "idx")
+    return graph_feature_vectors_sparse(cand, t, pindex, n_properties=3)
+
+
+def _cc_star_adaptive(spark, sf_dir):
+    """Bench override: the registry's row pins freeze_min_edges=0 so the
+    star-freeze path is oracle-checked every round (it would otherwise
+    only engage >=1M active edges and go dark at test scale). Forcing the
+    freeze on this small graph pays ~4 extra small shuffles + an eager
+    checkpoint per round — the bench times the ADAPTIVE default, i.e.
+    what canonicalize actually runs."""
+    from pyspark.sql import functions as F
+
+    from kg_curation_spark.operators.components import connected_components
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    edges = c.join(n, c.c_nationkey == n.n_nationkey).select(
+        F.col("c_name").alias("src"), F.col("n_name").alias("dst")
+    )
+    return connected_components(edges, num_partitions=16, ordered_ids=True)
+
+
 def _simhash_arrow_only(spark, sf_dir):
     """Bench override: the registry's `simhash` row deliberately executes
     BOTH the explode-oracle form and the Arrow scale form and inner-joins
@@ -80,7 +136,12 @@ def _simhash_arrow_only(spark, sf_dir):
     return simhash64_arrow(docs, "doc_id", "text", bits=32)
 
 
-BENCH_OVERRIDES = {"simhash": _simhash_arrow_only}
+BENCH_OVERRIDES = {
+    "connected_components_star": _cc_star_adaptive,
+    "simhash": _simhash_arrow_only,
+    "linkfeat_vector": _linkfeat_dense_only,
+    "linkfeat_sparse_indices": _linkfeat_sparse_only,
+}
 
 
 def main() -> None:
@@ -99,7 +160,9 @@ def main() -> None:
     spread: dict[str, float] = {}
     t_all = time.time()
     for name in HEADLINE:
-        fn = BENCH_OVERRIDES.get(name, qs[name])
+        # .get(name, qs[name]) would evaluate qs[name] eagerly — overrides
+        # may cover names that are no longer registry rows
+        fn = BENCH_OVERRIDES[name] if name in BENCH_OVERRIDES else qs[name]
         samples = []
         for _ in range(REPEATS):
             t0 = time.time()
