@@ -105,11 +105,12 @@ def _cc_loop_inner(
         stats = g.groupBy("u").agg(
             F.min("v").alias("mn"), F.count(F.lit(1)).alias("deg")
         )
-        # ADAPTIVE freeze: the test costs ~4 extra small shuffles + an
-        # anti-join per round — pure overhead when the active edge set is
-        # small enough that re-shuffling it to convergence is cheaper than
-        # testing it (measured: −30% wall at 3.6M edges, −50% at 20.8M,
-        # but +2.8x on a 150k-edge toy star graph). The round's edge count
+        # ADAPTIVE freeze: the test costs ~4 extra small shuffles, an
+        # anti-join and one eager-checkpoint job per round — pure overhead
+        # when the active edge set is small enough that re-shuffling it to
+        # convergence is cheaper than testing it (tools/freeze_probe.py,
+        # post-fix: −40% wall at 3.6M and at 20.8M mixed edges, but +55%
+        # on a 150k-edge toy star graph). The round's edge count
         # is already known for free from the fused signature observation,
         # so gate on it per round: large frontier → freeze pays, small
         # frontier → run the stock loop to the fixpoint.
@@ -208,11 +209,12 @@ def connected_components(
     cluster, so output is deterministic regardless of hash values.
     Self-edges tolerated (define isolated nodes).
 
-    freeze_stars (default on; measured ~30% faster at 3.6M mixed edges,
-    identical labels) is ADAPTIVE: it only engages on rounds whose active
-    edge count (free from the fused signature) is ≥ freeze_min_edges —
-    below that the extra per-round joins cost more than they save
-    (measured +2.8x on a 150k-edge star graph). Per-round frontier
+    freeze_stars (default on; tools/freeze_probe.py measures −40% wall at
+    3.6M and at 20.8M mixed edges, identical labels) is ADAPTIVE: it only
+    engages on rounds whose active edge count (free from the fused
+    signature) is ≥ freeze_min_edges — below that the extra per-round
+    joins + eager checkpoint cost more than they save (measured +55% on a
+    150k-edge star graph). Per-round frontier
     reduction: a component is provably
     finished when it is already a star rooted at its minimum: root r has
     only larger neighbors, and every neighbor is a degree-1 leaf whose
