@@ -4,12 +4,15 @@ with typed metadata, processed through Arrow-batched mapInPandas.
 Decode support is tiered by what the container provides:
 
   * REAL decoders (pure python/numpy, no external libs): WAV (stdlib
-    ``wave``) for audio; uncompressed 24/32-bpp BMP, binary PPM (P6), and
+    ``wave``) for audio; uncompressed 24/32-bpp BMP, binary PPM (P6),
     COMPRESSED non-interlaced 8-bit PNG (stdlib zlib inflate + scanline
-    unfilter) for images — see ``decode_media``. Exercised by tests on
-    real payloads, including PNGs using all five filter types.
-  * Remaining formats (JPEG/MP3/MP4, interlaced/16-bit PNG…) need
-    PIL/ffmpeg, which are NOT in this container — those raise
+    unfilter), and baseline sequential JPEG (jpeg.py: Huffman entropy
+    decode, dequant, IDCT, chroma upsample) for images — see
+    ``decode_media``. Exercised by tests on real payloads, including
+    PNGs using all five filter types and JPEGs at 4:4:4/4:2:0/grayscale
+    with restart markers.
+  * Remaining formats (MP3/MP4, progressive JPEG, interlaced/16-bit
+    PNG…) need PIL/ffmpeg, which are NOT in this container — those raise
     NotImplementedError at the decode site (declared gap).
     ``fake_decode=True`` keeps the deterministic sha-seeded stub for
     harness use.
@@ -217,6 +220,16 @@ def _decode_png(payload: bytes) -> np.ndarray:
     return _pixel_feature(px, w, h)
 
 
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    """Real image decode: baseline sequential JPEG (SOF0), pure
+    python/numpy — see jpeg.py. Progressive/arithmetic/12-bit modes stay
+    NotImplementedError."""
+    from .jpeg import decode_jpeg
+
+    rgb = decode_jpeg(payload)
+    return _pixel_feature(rgb, rgb.shape[1], rgb.shape[0])
+
+
 def _decode_ppm(payload: bytes) -> np.ndarray:
     """Real image decode: binary PPM (P6), pure python header + numpy."""
     if payload[:2] != b"P6":
@@ -249,6 +262,7 @@ _REAL_DECODERS = {
     "audio/wav": _decode_wav,
     "audio/x-wav": _decode_wav,
     "image/bmp": _decode_bmp,
+    "image/jpeg": _decode_jpeg,
     "image/png": _decode_png,
     "image/x-portable-pixmap": _decode_ppm,
 }
@@ -261,8 +275,8 @@ def decode_media(payload: bytes, mime: str) -> np.ndarray:
     if dec is None:
         raise NotImplementedError(
             f"decode for {mime!r} requires PIL/ffmpeg — not available in "
-            "this environment (real decoders: WAV, BMP, P6 PPM, PNG); pass "
-            "fake_decode=True for the deterministic stub"
+            "this environment (real decoders: WAV, BMP, P6 PPM, PNG, "
+            "baseline JPEG); pass fake_decode=True for the deterministic stub"
         )
     return dec(payload)
 

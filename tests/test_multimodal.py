@@ -124,7 +124,7 @@ def test_decode_media_direct():
     assert abs(wf[0] - 160 / 8000) < 1e-6
     assert np.all(np.isfinite(wf))
     with pytest.raises(NotImplementedError):
-        decode_media(b"\xff\xd8\xff\xe0 fake jpeg", "image/jpeg")
+        decode_media(b"\x00\x00\x00\x18ftypmp42 fake mp4", "video/mp4")
 
 
 def _png_bytes(px, filters, ctype=2):
@@ -238,3 +238,228 @@ def test_png_interlaced_and_16bit_still_declared_gap():
         decode_media(mk(16, 0), "image/png")
     with pytest.raises(NotImplementedError):
         decode_media(mk(8, 1), "image/png")
+
+
+# ---------- JPEG: spec-table encoder (test-side) + decoder tests ----------
+
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12  # 12 categories, all length-4 codes
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_JPEG_AC_BITS = [0] * 7 + [len(_JPEG_AC_VALS)] + [0] * 8  # all length-8 codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)  # pad with 1-bits
+
+
+def _jpeg_category(x):
+    return 0 if x == 0 else int(abs(x)).bit_length()
+
+
+def _jpeg_bytes(rgb, sampling=(1, 1), restart_interval=0, gray=False):
+    """Minimal baseline JPEG encoder: flat quant table (all ones), Annex-C
+    canonical Huffman tables built from the BITS/HUFFVAL above, sampling =
+    (H, V) for luma (chroma always 1x1) — (1,1) = 4:4:4, (2,2) = 4:2:0."""
+    import struct
+
+    import numpy as np
+
+    from kg_curation_spark.jpeg import ZIGZAG, build_huffman_codes, fdct_8x8
+
+    dc_codes = {v: k for k, v in build_huffman_codes(_JPEG_DC_BITS, _JPEG_DC_VALS).items()}
+    ac_codes = {v: k for k, v in build_huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS).items()}
+
+    rgb = np.asarray(rgb, dtype="float64")
+    h, w = rgb.shape[:2]
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    hs, vs = sampling
+    if gray:
+        comps = [(1, 1, 1, y)]
+    else:
+        # chroma subsample by simple decimation (decoder upsamples by repeat)
+        comps = [(1, hs, vs, y), (2, 1, 1, cb[::vs, ::hs]), (3, 1, 1, cr[::vs, ::hs])]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    padded = []
+    for cid, hc, vc, plane in comps:
+        ph, pw = mcus_y * vc * 8, mcus_x * hc * 8
+        pl = np.zeros((ph, pw))
+        pl[: plane.shape[0], : plane.shape[1]] = plane
+        pl[plane.shape[0] :, : plane.shape[1]] = plane[-1:, :]  # edge pad
+        pl[:, plane.shape[1] :] = pl[:, plane.shape[1] - 1 : plane.shape[1]]
+        padded.append((cid, hc, vc, pl))
+
+    wtr = _BitWriter()
+    pred = {cid: 0 for cid, _, _, _ in padded}
+    segs = bytearray()
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                wtr.flush()
+                segs += wtr.out
+                segs += bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
+                wtr = _BitWriter()
+                pred = {cid: 0 for cid in pred}
+            for cid, hc, vc, pl in padded:
+                for by in range(vc):
+                    for bx in range(hc):
+                        y0, x0 = (my * vc + by) * 8, (mx * hc + bx) * 8
+                        blk = pl[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        q = np.round(fdct_8x8(blk)).astype(int)  # flat table
+                        dc = int(q[0, 0])
+                        diff = dc - pred[cid]
+                        pred[cid] = dc
+                        t = _jpeg_category(diff)
+                        ln, code = dc_codes[t]
+                        wtr.put(code, ln)
+                        if t:
+                            wtr.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+                        zz = [int(q[v, u]) for v, u in ZIGZAG]
+                        k = 1
+                        while k < 64:
+                            run = 0
+                            while k < 64 and zz[k] == 0:
+                                run += 1
+                                k += 1
+                            if k == 64:
+                                ln, code = ac_codes[0x00]  # EOB
+                                wtr.put(code, ln)
+                                break
+                            while run >= 16:
+                                ln, code = ac_codes[0xF0]  # ZRL
+                                wtr.put(code, ln)
+                                run -= 16
+                            s = _jpeg_category(zz[k])
+                            ln, code = ac_codes[(run << 4) | s]
+                            wtr.put(code, ln)
+                            wtr.put(zz[k] if zz[k] > 0 else zz[k] + (1 << s) - 1, s)
+                            k += 1
+            mcu += 1
+    wtr.flush()
+    segs += wtr.out
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # table 0, flat
+    ncomp = 1 if gray else 3
+    sof_body = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid, hc, vc, _ in padded:
+        sof_body += bytes([cid, (hc << 4) | vc, 0])
+    sof = seg(0xC0, sof_body)
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    sos_body = bytes([ncomp])
+    for cid, _, _, _ in padded:
+        sos_body += bytes([cid, 0x00])
+    sos_body += bytes([0, 63, 0])
+    sos = seg(0xDA, sos_body)
+    return (
+        b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(segs) + b"\xff\xd9"
+    )
+
+
+def _gradient_rgb(w, h):
+    import numpy as np
+
+    xs = np.arange(w)[None, :]
+    ys = np.arange(h)[:, None]
+    return np.stack(
+        [
+            (xs * 9 + ys * 3) % 256 + 0 * ys,
+            (xs * 2 + 7) % 256 + 0 * ys,
+            (ys * 5 + 40) % 256 + 0 * xs,
+        ],
+        axis=2,
+    ).astype("uint8")
+
+
+def test_jpeg_roundtrip_444():
+    import numpy as np
+
+    from kg_curation_spark.jpeg import decode_jpeg
+
+    src = _gradient_rgb(24, 16)
+    got = decode_jpeg(_jpeg_bytes(src))
+    assert got.shape == (16, 24, 3)
+    # flat quant table: error budget is DCT rounding (+-0.5/coef) plus the
+    # YCbCr round-trip — a few counts per pixel
+    assert np.max(np.abs(got.astype(int) - src.astype(int))) <= 6
+
+
+def test_jpeg_roundtrip_grayscale_and_restart():
+    import numpy as np
+
+    from kg_curation_spark.jpeg import decode_jpeg
+
+    src = _gradient_rgb(17, 9)  # non-multiple-of-8 dims exercise padding
+    luma = np.round(
+        0.299 * src[..., 0] + 0.587 * src[..., 1] + 0.114 * src[..., 2]
+    ).astype("uint8")
+    got = decode_jpeg(_jpeg_bytes(src, restart_interval=2, gray=True))
+    assert got.shape == (9, 17, 3)
+    assert np.max(np.abs(got[..., 0].astype(int) - luma.astype(int))) <= 4
+    assert np.array_equal(got[..., 0], got[..., 1])
+
+
+def test_jpeg_roundtrip_420_subsampled():
+    import numpy as np
+
+    from kg_curation_spark.jpeg import decode_jpeg
+
+    # piecewise-constant 16x16 tiles: chroma is constant inside each 2x2
+    # decimation window, so 4:2:0 loses nothing
+    tiles = np.array([[(200, 30, 60), (10, 220, 90)], [(70, 80, 240), (5, 5, 5)]])
+    src = np.repeat(np.repeat(tiles, 16, axis=0), 16, axis=1).astype("uint8")
+    got = decode_jpeg(_jpeg_bytes(src, sampling=(2, 2)))
+    assert got.shape == (32, 32, 3)
+    assert np.max(np.abs(got.astype(int) - src.astype(int))) <= 6
+
+
+def test_jpeg_decode_media_feature_and_progressive_gap():
+    import numpy as np
+
+    from kg_curation_spark.multimodal import _pixel_feature, decode_media
+
+    src = _gradient_rgb(24, 16)
+    feat = decode_media(_jpeg_bytes(src), "image/jpeg")
+    want = _pixel_feature(src, 24, 16)
+    assert feat[0] == 24.0 and feat[1] == 16.0
+    assert np.allclose(feat[3:], want[3:], atol=0.02)
+    # progressive (SOF2) stays a declared gap
+    payload = _jpeg_bytes(src)
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        decode_media(prog, "image/jpeg")
