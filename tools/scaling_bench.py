@@ -28,7 +28,10 @@ Usage:
     python tools/scaling_bench.py            # both legs + report
     python tools/scaling_bench.py --run 8    # single measured leg (internal)
 Knobs: KG_SCALE_QUADS, KG_SCALE_LEGS, KG_SCALE_EXEC_CORES (2),
-KG_SCALE_EXEC_MEM MB (12288), KG_SCALE_EVENTLOG, KG_SCALE_DRIVER_MEM.
+KG_SCALE_EXEC_MEM MB (12288), KG_SCALE_EVENTLOG, KG_SCALE_DRIVER_MEM,
+KG_SCALE_LOCAL_DIRS (default /dev/shm/spark-tmp — point at a disk path
+to take shuffle files OUT of tmpfs when testing the RAM-pressure term:
+heaps + tmpfs shuffle + corpus share the same physical memory).
 """
 
 from __future__ import annotations
@@ -157,7 +160,9 @@ def main() -> None:
         # heap so big-corpus shuffle spill cannot OOM the leg
         env = dict(
             os.environ,
-            SPARK_LOCAL_DIRS="/dev/shm/spark-tmp",
+            SPARK_LOCAL_DIRS=os.environ.get(
+                "KG_SCALE_LOCAL_DIRS", "/dev/shm/spark-tmp"
+            ),
             SPARK_DRIVER_MEM=os.environ.get("KG_SCALE_DRIVER_MEM", "32g"),
         )
         out = subprocess.run(
