@@ -154,6 +154,12 @@ def main() -> None:
     legs = tuple(
         int(x) for x in os.environ.get("KG_SCALE_LEGS", default_legs).split(",")
     )
+    def _cpu_ticks():
+        with open("/proc/stat") as fh:
+            f = fh.readline().split()
+        # user, nice, system, idle, iowait, irq, softirq, steal
+        return [int(x) for x in f[1:9]]
+
     results = {}
     for cpus in legs:
         # tmpfs shuffle + JVM heap share physical RAM on this box; cap the
@@ -165,6 +171,7 @@ def main() -> None:
             ),
             SPARK_DRIVER_MEM=os.environ.get("KG_SCALE_DRIVER_MEM", "32g"),
         )
+        t_before = _cpu_ticks()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--run", str(cpus)],
             capture_output=True, text=True, env=env,
@@ -174,6 +181,19 @@ def main() -> None:
             print(out.stderr[-4000:], file=sys.stderr)
             raise SystemExit(f"leg local[{cpus}] failed rc={out.returncode}")
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        # host CPU mix over the leg window: a shared-hypervisor box can
+        # steal 20%+ of the leg (measured Aug 18 00:31, %st 23.1) and
+        # tmpfs shuffle shows up as system time — walls are only
+        # comparable when these terms are on the record
+        d = [b - a for a, b in zip(t_before, _cpu_ticks())]
+        tot = max(sum(d), 1)
+        results[cpus]["host_cpu_pct"] = {
+            "user": round(100 * (d[0] + d[1]) / tot, 1),
+            "system": round(100 * (d[2] + d[5] + d[6]) / tot, 1),
+            "idle": round(100 * d[3] / tot, 1),
+            "iowait": round(100 * d[4] / tot, 1),
+            "steal": round(100 * d[7] / tot, 1),
+        }
         print(f"local[{cpus}]: {results[cpus]}", file=sys.stderr)
 
     a, b = legs
