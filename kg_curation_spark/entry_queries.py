@@ -534,10 +534,12 @@ def exact_dedup_query(spark, sf_dir):
     "GROUP BY id, seed",
 )
 def minhash_signatures_query(spark, sf_dir):
-    from .operators.dedup import minhash_signatures, shingle_table
+    # fused array path: bit-identical signatures, no exploded-shingle shuffle
+    from .operators.dedup import minhash_signatures_fused
 
-    sh = shingle_table(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
-    return minhash_signatures(sh, n_hashes=8)
+    return minhash_signatures_fused(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, n_hashes=8
+    )
 
 
 @q(
@@ -553,11 +555,12 @@ def minhash_signatures_query(spark, sf_dir):
     "JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id",
 )
 def lsh_candidate_pairs_query(spark, sf_dir):
-    from .operators.dedup import lsh_candidate_pairs, minhash_signatures, shingle_table
+    # fused array path: same band buckets straight off the wide minhash row
+    from .operators.dedup import lsh_candidate_pairs_fused
 
-    sh = shingle_table(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
-    sig = minhash_signatures(sh, n_hashes=8)
-    return lsh_candidate_pairs(sig, bands=4)
+    return lsh_candidate_pairs_fused(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, n_hashes=8, bands=4
+    )
 
 
 _SIMHASH_SQL = (
@@ -599,9 +602,16 @@ def simhash_query(spark, sf_dir):
     "WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2",
 )
 def ngram_jaccard_pairs_query(spark, sf_dir):
-    from .operators.dedup import ngram_jaccard_pairs, shingle_table
+    from .operators.dedup import ngram_jaccard_pairs, shingle_pairs
 
-    sh = shingle_table(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+    # doc_id is unique per row, so the per-row-distinct explode IS the
+    # oracle's sh CTE (which has no global distinct either); the operator
+    # consumes the shingle table 3x (hot-df gate, sizes, both join sides) —
+    # localCheckpoint materializes it ONCE, inside the timed region, so the
+    # explode+tokenize never replays (guide §3.3 plan-truncation).
+    sh = shingle_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3
+    ).localCheckpoint()
     return ngram_jaccard_pairs(sh, tau=0.2)
 
 
@@ -988,11 +998,10 @@ def connected_components_star_query(spark, sf_dir):
 )
 def neardup_clusters_query(spark, sf_dir):
     from .operators.components import connected_components
-    from .operators.dedup import lsh_candidate_pairs, minhash_signatures, shingle_table
+    from .operators.dedup import lsh_candidate_pairs_fused
 
     docs = _t(spark, sf_dir, "documents")
-    sh = shingle_table(docs, "doc_id", "text", k=3)
-    pairs = lsh_candidate_pairs(minhash_signatures(sh, n_hashes=8), bands=4)
+    pairs = lsh_candidate_pairs_fused(docs, "doc_id", "text", k=3, n_hashes=8, bands=4)
     edges = pairs.select(
         F.lpad(F.col("id_a").cast("string"), 6, "0").alias("src"),
         F.lpad(F.col("id_b").cast("string"), 6, "0").alias("dst"),

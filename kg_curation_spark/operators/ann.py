@@ -21,8 +21,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 
+from .spread import ensure_parallelism as _spread
 from .topk import topk_per_group
 
 
@@ -59,8 +60,11 @@ def brute_force_cosine_topk(
     qs = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    base = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    # the O(Q x N) cosine work is per-base-row CPU: floor its parallelism
+    base = _spread(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+        )
     )
     joined = base.crossJoin(F.broadcast(qs))
     if exclude_self:
@@ -120,6 +124,36 @@ def lsh_signature_udf(n_planes: int, dim: int, seed: int = 42):
     return sig
 
 
+def lsh_multi_signature_udf(
+    n_planes: int, dim: int, n_tables: int, seed_base: int = 42, seed_step: int = 1000
+):
+    """One Arrow pass computing ALL n_tables bucket signatures per vector
+    (array<bigint>, index = table id). Bit-identical buckets to n_tables
+    separate ``lsh_signature_udf(seed_base + seed_step*t)`` calls — the
+    plane matrices are simply stacked into one (tables*planes, dim) matmul
+    — but the input is scanned and crosses the Python boundary ONCE instead
+    of once per table (guide §4.1: control how many columns/rows cross)."""
+    planes = np.concatenate(
+        [
+            _hyperplanes(n_planes, dim, seed_base + seed_step * t)
+            for t in range(n_tables)
+        ]
+    )  # (n_tables * n_planes, dim)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf(ArrayType(LongType()))
+    def sigs(vec: pd.Series) -> pd.Series:
+        m = np.stack(vec.to_numpy()).astype("float64")  # (batch, dim)
+        m = np.floor(m * 1024.0 + 0.5) / 1024.0  # same exactness argument
+        bits = (m @ planes.T) >= 0  # (batch, tables*planes)
+        packed = (
+            bits.reshape(len(m), -1, n_planes).astype("int64") * weights
+        ).sum(axis=2)  # (batch, tables)
+        return pd.Series(list(packed))
+
+    return sigs
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -141,37 +175,34 @@ def lsh_cosine_topk(
     re-ranked, so returned scores equal the brute-force scores; only
     coverage is approximate. Join key is (table, bucket) — uniform.
     """
-    base = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    # signature pass is per-row numpy: floor the base side's parallelism
+    base = _spread(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+        )
     )
     qs0 = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
 
-    base_b = []
-    qs_b = []
-    for t in range(n_tables):
-        sig = lsh_signature_udf(n_planes, dim, seed=42 + 1000 * t)
-        base_b.append(
-            base.withColumn("bucket", sig("nvec")).withColumn("table", F.lit(t))
-        )
-        qsig = qs0.withColumn("qsig", sig("qvec"))
-        probes = [F.col("qsig")]
-        if multiprobe_hamming >= 1:
-            probes += [
-                F.col("qsig").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)
-            ]
-        qs_b.append(
-            qsig.withColumn("bucket", F.explode(F.array(*probes)))
-            .withColumn("table", F.lit(t))
-            .drop("qsig")
-        )
-    base_all = base_b[0]
-    for x in base_b[1:]:
-        base_all = base_all.unionByName(x)
-    qs_all = qs_b[0]
-    for x in qs_b[1:]:
-        qs_all = qs_all.unionByName(x)
+    # ONE signature pass for all tables (posexplode of the per-table array)
+    # instead of an n_tables-way union that re-scans the corpus and
+    # re-crosses the Python boundary per table (guide §2.4/§4.1).
+    sigs = lsh_multi_signature_udf(n_planes, dim, n_tables)
+    base_all = base.withColumn("__sigs", sigs("nvec")).select(
+        "neighbor_id",
+        "nvec",
+        F.posexplode("__sigs").alias("table", "bucket"),
+    )
+    qsig = qs0.withColumn("__sigs", sigs("qvec")).select(
+        "query_id", "qvec", F.posexplode("__sigs").alias("table", "qsig")
+    )
+    probes = [F.col("qsig")]
+    if multiprobe_hamming >= 1:
+        probes += [
+            F.col("qsig").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)
+        ]
+    qs_all = qsig.withColumn("bucket", F.explode(F.array(*probes))).drop("qsig")
 
     cand = base_all.join(qs_all, ["table", "bucket"])
     if exclude_self:

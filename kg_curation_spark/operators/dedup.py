@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_text, stable_hash32, tokenize, word_ngrams
+from .spread import ensure_parallelism as _spread
 
 
 def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
@@ -42,20 +43,30 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     )
 
 
-def shingle_table(
+def shingle_pairs(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, char_level: bool = False
 ) -> DataFrame:
-    """-> (id, shingle) distinct word-k-gram (or char-k) shingles.
+    """-> (id, shingle) within-row-distinct word-k-gram (or char-k)
+    shingles, exploded but NOT globally deduplicated — the narrow building
+    block behind shingle_table and the fused minhash path. It matches the
+    oracle's ``sh`` CTE exactly (the oracle only does per-row
+    ``list_distinct``); consumers that need global (id, shingle) dedup add
+    ``.distinct()`` (shingle_table), aggregating consumers (minhash minima)
+    don't need it.
 
     The token array / normalized text is materialized into a column BEFORE
     the n-gram transform: Catalyst does not eliminate common subexpressions
     inside higher-order-function lambdas, so inlining tokenize() there
     re-runs the whole regex chain once per n-gram index (O(len^2) — measured
-    10 s for 5000 docs before this fix, <1 s after)."""
+    10 s for 5000 docs before this fix, <1 s after). The Project feeding
+    the Generate is the required shape: a Project->Project stack collapses
+    and re-inlines the token array into the lambda (measured 8x slower when
+    the shingle array was staged through a second projection)."""
+    base = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    )
     if char_level:
-        base = df.select(
-            F.col(id_col).alias("id"), normalize_text(text_col).alias("__nt")
-        )
+        base = base.select("id", normalize_text("__text").alias("__nt"))
         sh = F.when(
             F.length("__nt") >= k,
             F.array_distinct(
@@ -66,11 +77,16 @@ def shingle_table(
             ),
         ).otherwise(F.array().cast("array<string>"))
     else:
-        base = df.select(
-            F.col(id_col).alias("id"), tokenize(text_col).alias("__toks")
-        )
+        base = base.select("id", tokenize("__text").alias("__toks"))
         sh = F.array_distinct(word_ngrams(F.col("__toks"), k))
-    return base.select("id", F.explode(sh).alias("shingle")).distinct()
+    return base.select("id", F.explode(sh).alias("shingle"))
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, char_level: bool = False
+) -> DataFrame:
+    """-> (id, shingle) distinct word-k-gram (or char-k) shingles."""
+    return shingle_pairs(df, id_col, text_col, k=k, char_level=char_level).distinct()
 
 
 def minhash_signatures(
@@ -94,15 +110,71 @@ def minhash_signatures(
     )
 
 
+def minhash_wide(shingles: DataFrame, n_hashes: int = 8) -> DataFrame:
+    """(id, shingle) pairs -> (id, m0..m{n-1}) wide minhash row: all
+    n_hashes md5 minima in ONE codegen'd hash aggregate. Accepts
+    shingle_pairs output (NOT globally deduped): duplicate (id, shingle)
+    rows cannot change a minimum, so this is bit-identical to
+    minhash_signatures(shingle_table(...)) with the full exploded
+    (id, shingle) dedup shuffle removed — partial map-side aggregation
+    means the exchange carries ~n_hashes ints per (doc, map task), not the
+    exploded shingle rows (guide §2.3: aggregate before you shuffle). Docs
+    with no shingles produce no row, like the explode form.
+    """
+    aggs = [
+        F.min(stable_hash32(F.col("shingle"), seed=s)).alias(f"m{s}")
+        for s in range(n_hashes)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def minhash_signatures_fused(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, n_hashes: int = 8
+) -> DataFrame:
+    """text -> (id, seed, minhash), bit-identical to
+    minhash_signatures(shingle_table(df, ...), n_hashes) with the exploded
+    shingle shuffle removed (guide §2.3/§2.4: the only shuffle left carries
+    one narrow row per doc)."""
+    wide = minhash_wide(shingle_pairs(df, id_col, text_col, k=k), n_hashes)
+    stack = ", ".join(f"{s}L, m{s}" for s in range(n_hashes))
+    return wide.selectExpr(
+        "id", f"stack({n_hashes}, {stack}) as (seed, minhash)"
+    )
+
+
+def _pairs_from_buckets(buckets: DataFrame, max_bucket: int) -> DataFrame:
+    """(id, band, bucket) -> (id_a, id_b) distinct pairs sharing >=1 band.
+
+    bucket-size gate as an aggregate + semi-join (cheaper than a window:
+    no per-bucket sort); singleton buckets are pruned too — they cannot
+    produce pairs, and they are the vast majority of buckets. Degenerate
+    buckets (> max_bucket members, e.g. empty-text boilerplate) are
+    dropped — at corpus scale one such bucket would otherwise produce a
+    quadratic pair explosion."""
+    ok_buckets = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bsize"))
+        .filter((F.col("bsize") >= 2) & (F.col("bsize") <= max_bucket))
+        .select("band", "bucket")
+    )
+    sized = buckets.join(ok_buckets, ["band", "bucket"], "left_semi")
+    a = sized.select("band", "bucket", F.col("id").alias("id_a"))
+    b = sized.select("band", "bucket", F.col("id").alias("id_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 4, max_bucket: int = 1000
 ) -> DataFrame:
     """(id, seed, minhash) -> (id_a, id_b) pairs sharing >=1 LSH band.
 
     band = seed div rows_per_band; bucket key = the band's minhash vector
-    serialized in seed order. Degenerate buckets (> max_bucket members,
-    e.g. empty-text boilerplate) are dropped — at corpus scale one such
-    bucket would otherwise produce a quadratic pair explosion.
+    serialized in seed order.
     """
     n_hashes = signatures.agg(F.max("seed")).first()[0] + 1
     rows_per_band = n_hashes // bands
@@ -121,24 +193,44 @@ def lsh_candidate_pairs(
             ).alias("bucket")
         )
     )
-    # bucket-size gate as an aggregate + semi-join (cheaper than a window:
-    # no per-bucket sort); singleton buckets are pruned too — they cannot
-    # produce pairs, and they are the vast majority of buckets.
-    ok_buckets = (
-        buckets.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("bsize"))
-        .filter((F.col("bsize") >= 2) & (F.col("bsize") <= max_bucket))
-        .select("band", "bucket")
+    return _pairs_from_buckets(buckets, max_bucket)
+
+
+def lsh_candidate_pairs_fused(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """text -> (id_a, id_b), bit-identical to
+    lsh_candidate_pairs(minhash_signatures(shingle_table(...))) — the band
+    buckets are serialized straight off the wide minhash row (same
+    seed-order '_'-join), so the signature explode, the (id, band) groupBy
+    shuffle and the max(seed) probe job all disappear (guide §2.4)."""
+    rows_per_band = n_hashes // bands
+    wide = minhash_wide(shingle_pairs(df, id_col, text_col, k=k), n_hashes)
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"m{s}").cast("string")
+                        for s in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
     )
-    sized = buckets.join(ok_buckets, ["band", "bucket"], "left_semi")
-    a = sized.select("band", "bucket", F.col("id").alias("id_a"))
-    b = sized.select("band", "bucket", F.col("id").alias("id_b"))
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    buckets = wide.select("id", F.explode(bands_arr).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    return _pairs_from_buckets(buckets, max_bucket)
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
@@ -147,10 +239,11 @@ def simhash64(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> Data
     JVM-side explode form (oracle-checkable); the 100 TB path is the same
     math as one numpy pass in mapInPandas — see module docstring.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(tokenize(text_col)).alias("tok"),
-    ).withColumn("h", stable_hash32(F.col("tok")))
+    toks = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    ).select("id", F.explode(tokenize("__text")).alias("tok")).withColumn(
+        "h", stable_hash32(F.col("tok"))
+    )
     positions = df.sparkSession.range(bits).select(F.col("id").alias("bit"))
     # shiftright/shiftleft take literal shift amounts only; 2^bit via pow
     # (exact in double up to 2^52) keeps the shift-by-column JVM-side.
@@ -176,19 +269,31 @@ def simhash64_arrow(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32
 ) -> DataFrame:
     """-> (id, simhash): the 100-TB SimHash path. Identical signatures to
-    ``simhash64`` (same per-token stable_hash32, computed JVM-side inside
-    a transform — the md5 chain never re-implements in Python), but the
-    sign-sum + bit-pack run as ONE vectorized numpy pass per Arrow batch:
-    linear in total tokens, versus the explode form's tokens x bits row
-    multiplication. Token-less docs are dropped, matching the explode form.
+    ``simhash64``: the per-token hash is the same md5-derived
+    ``stable_hash32`` value — here computed with hashlib inside the Arrow
+    pass (md5 over the same UTF-8 bytes is bit-identical by definition;
+    tokens are [a-z0-9]+ post-normalize, so there is no encoding ambiguity;
+    the cross-implementation equality is pinned by the explode-form join in
+    the registry row and by pytest). Hashing moved Python-side because the
+    previous JVM form (``transform(tokenize(...), stable_hash32)``) is a
+    higher-order function — CodegenFallback, interpreted per element —
+    measured ~2x the whole operator's runtime. Inside the Arrow batch the
+    token stream is deduplicated first (np.unique): natural text repeats
+    tokens heavily, so md5 runs once per distinct token per batch, then the
+    sign-sum + bit-pack run as ONE vectorized numpy pass — linear in total
+    tokens, versus the explode form's tokens x bits row multiplication.
+    Token-less docs are dropped, matching the explode form.
     """
+    from hashlib import md5 as _md5
+
     from pyspark.sql.types import LongType, StructField, StructType
 
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(tokenize(text_col), lambda t: stable_hash32(t)).alias("__hs"),
-    ).filter(F.size("__hs") > 0)
-    id_field = hashed.schema["id"]
+    toks = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    ).select("id", tokenize("__text").alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
+    id_field = toks.schema["id"]
     schema = StructType([id_field, StructField("simhash", LongType())])
     shifts = np.arange(bits, dtype=np.int64)
 
@@ -196,10 +301,22 @@ def simhash64_arrow(
         for pdf in it:
             if not len(pdf):
                 continue
-            lens = np.fromiter((len(h) for h in pdf["__hs"]), dtype=np.int64)
-            all_h = np.concatenate(
-                [np.asarray(h, dtype=np.int64) for h in pdf["__hs"]]
+            lens = np.fromiter((len(t) for t in pdf["__toks"]), dtype=np.int64)
+            all_t = np.concatenate(
+                [np.asarray(t, dtype=object) for t in pdf["__toks"]]
             )
+            # hash each DISTINCT token once per batch (stable_hash32 bytes:
+            # int16 of the first 8 hex chars of md5(b"0|" + token))
+            uniq, inv = np.unique(all_t, return_inverse=True)
+            uh = np.fromiter(
+                (
+                    int(_md5(b"0|" + t.encode("utf-8")).hexdigest()[:8], 16)
+                    for t in uniq
+                ),
+                dtype=np.int64,
+                count=len(uniq),
+            )
+            all_h = uh[inv]
             row_idx = np.repeat(np.arange(len(pdf)), lens)
             contrib = (((all_h[:, None] >> shifts) & 1) * 2 - 1).astype(np.int64)
             acc = np.zeros((len(pdf), bits), dtype=np.int64)
@@ -207,7 +324,7 @@ def simhash64_arrow(
             sig = ((acc > 0).astype(np.int64) * (np.int64(1) << shifts)).sum(axis=1)
             yield pd.DataFrame({"id": pdf["id"], "simhash": sig})
 
-    return hashed.mapInPandas(batches, schema=schema)
+    return toks.mapInPandas(batches, schema=schema)
 
 
 def ngram_jaccard_pairs(
@@ -232,18 +349,32 @@ def ngram_jaccard_pairs(
         )
         shingles = shingles.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = shingles.select(F.col("id").alias("id_a"), "shingle")
-    b = shingles.select(F.col("id").alias("id_b"), "shingle")
+    # Attach set sizes to the INDEX rows (one |shingles|-row join on id),
+    # not to the pair table: the co-occurrence pair table is the blown-up
+    # side (sum over shingles of df^2 rows — measured 127M intermediate /
+    # ~50M distinct pairs from 2.6M shingle rows at bench scale), so
+    # joining sizes after the aggregate meant two |pairs|-row joins. Here
+    # na/nb ride through the self-join and are min-agg'd (functionally
+    # dependent on the pair key), so the aggregate output needs NO further
+    # join (guide §2.3: shuffle keys + small metadata, not re-joined
+    # payloads). Identical jaccard: same sizes, same co-occurrence counts.
+    sized = shingles.join(sizes, "id")
+    a = sized.select(F.col("id").alias("id_a"), "shingle", F.col("n").alias("na"))
+    b = sized.select(F.col("id").alias("id_b"), "shingle", F.col("n").alias("nb"))
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
     )
     return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        inter.withColumn(
+            "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        )
         .filter(F.col("jaccard") >= tau)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
