@@ -36,6 +36,21 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     return edges.unionByName(rev).filter(F.col("u") != F.col("v")).distinct()
 
 
+def _sym_dedup_by_u(edges: DataFrame, num_partitions: int) -> DataFrame:
+    """_symmetrize with the exchange order flipped: repartition by u first,
+    dedup (u, v) second. Identical edge set; hash(u) partitioning satisfies
+    the dedup aggregate's (u, v) clustering requirement AND every
+    groupBy('u')/join-on-u the loop does next, so each symmetrize costs one
+    exchange instead of distinct's (u, v) exchange plus a repartition."""
+    rev = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    return (
+        edges.unionByName(rev)
+        .filter(F.col("u") != F.col("v"))
+        .repartition(num_partitions, "u")
+        .dropDuplicates(["u", "v"])
+    )
+
+
 def _cc_loop(
     e: DataFrame,
     num_partitions: int,
@@ -69,6 +84,29 @@ def _cc_loop(
         spark.conf.set(_CONF, conf_prev)
 
 
+def _checkpoint_blocks(df: DataFrame):
+    """Best-effort handle on a localCheckpoint'd DataFrame's pinned RDD (the
+    LogicalRDD leaf), so the loop can unpersist round N-1's blocks once
+    round N is materialized instead of waiting for driver GC — the
+    'eager checkpoint pinning' memory-pressure term at 32M-quad scale.
+    Returns None (skip hygiene, never crash) if the plan shape differs."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.nodeName() == "LogicalRDD":
+            return plan.rdd()
+    except Exception:  # noqa: BLE001 - hygiene only, never fail the query
+        pass
+    return None
+
+
+def _unpersist_blocks(handle) -> None:
+    if handle is not None:
+        try:
+            handle.unpersist(False)
+        except Exception:  # noqa: BLE001
+            pass
+
+
 def _cc_loop_inner(
     e: DataFrame,
     num_partitions: int,
@@ -93,9 +131,19 @@ def _cc_loop_inner(
         m = obs.get
         return out, (m["s"], m["n"])
 
-    g, sig_old = _checkpoint_with_sig(
-        _symmetrize(e).repartition(num_partitions, "u")
-    )
+    def _round_partitions(n_edges: int) -> int:
+        """Scale-adaptive round partitioning (guide §2): the active edge
+        count is already known for FREE from the fused signature, so size
+        each round's shuffle to it — ~200k edges (~2-10 MB of string edges)
+        per partition, floored at 1, capped at the caller's num_partitions.
+        At scale (edges >> 200k * num_partitions) this is exactly the old
+        constant; on a nearly-converged (or small) frontier it stops paying
+        num_partitions-task scheduling overhead per round for a handful of
+        rows."""
+        return max(1, min(num_partitions, n_edges // 200_000 + 1))
+
+    g, sig_old = _checkpoint_with_sig(_sym_dedup_by_u(e, num_partitions))
+    g_blocks = _checkpoint_blocks(g)
     frozen_parts: list[DataFrame] = []
     for _ in range(max_iter):
         if sig_old[1] == 0:
@@ -164,7 +212,14 @@ def _cc_loop_inner(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
         keep = g.filter(F.col("v") < F.col("u"))
-        g2 = _symmetrize(large.unionByName(keep))
+        parts = _round_partitions(sig_old[1])
+        # symmetrize via repartition-by-u FIRST, then dropDuplicates:
+        # HashPartitioning(u) satisfies the (u, v) clustering the dedup
+        # aggregate requires, so the dedup runs in-place on the u-partitioned
+        # data and the following groupBy('u') reuses the same partitioning —
+        # one exchange per symmetrize instead of two (guide §2.4: two
+        # operations keyed the same way share one exchange).
+        g2 = _sym_dedup_by_u(large.unionByName(keep), parts)
 
         # small-star: connect all smaller neighbors (and u) to the minimum
         halves = g2.filter(F.col("v") < F.col("u"))
@@ -175,10 +230,12 @@ def _cc_loop_inner(
             .unionByName(smin.select(F.col("u"), F.col("m").alias("v")))
         )
         # one job per round: checkpoint + fused signature observation
-        g_new, sig_new = _checkpoint_with_sig(
-            _symmetrize(small).repartition(num_partitions, "u")
-        )
-        g = g_new
+        g_new, sig_new = _checkpoint_with_sig(_sym_dedup_by_u(small, parts))
+        # round N materialized -> round N-1's pinned blocks are dead; free
+        # them deterministically instead of waiting for driver GC
+        new_blocks = _checkpoint_blocks(g_new)
+        _unpersist_blocks(g_blocks)
+        g, g_blocks = g_new, new_blocks
         if sig_new == sig_old:
             break
         sig_old = sig_new
@@ -192,6 +249,15 @@ def _cc_loop_inner(
     )
     for fp in frozen_parts:
         labels = labels.unionByName(fp)
+    # Materialize the final labels ONCE (they are |nodes| rows — compact),
+    # then free the residual graph and every frozen part: storage memory is
+    # now bounded by the label table instead of growing with loop rounds
+    # (localCheckpoint lineage is truncated, so blocks must outlive every
+    # consumer — the compact label checkpoint is that single consumer).
+    labels = labels.localCheckpoint()
+    _unpersist_blocks(g_blocks)
+    for fp in frozen_parts:
+        _unpersist_blocks(_checkpoint_blocks(fp))
     return labels
 
 

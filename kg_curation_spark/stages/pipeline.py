@@ -52,7 +52,24 @@ def run_pipeline(
     cost per run that repeat pipelines amortize by persisting the tiny
     weight table once and passing it back in.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     ctx = PipelineContext(spark=spark, workdir=workdir, force=force)
+    # canonicalize reads ONLY the KB (entity_label, redirects) — no edge to
+    # the extract -> decide chain — so its stage runs on a helper thread
+    # and overlaps the whole chain (guide §2.6: overlap independent jobs;
+    # Spark schedules both jobs' tasks FIFO, the canonicalize CC rounds
+    # back-fill executor slots the chain's small stages leave idle).
+    # StageResult append order may interleave, but ctx.ran[-1] is still
+    # materialize, which joins on the result below before running.
+    canon_pool = ThreadPoolExecutor(max_workers=1)
+    f_canon = canon_pool.submit(
+        ctx.stage,
+        "canonicalize",
+        lambda: canonicalize(
+            kb["entity_label"], kb["redirects"], num_partitions=num_partitions
+        ),
+    )
     model_w = None
     if learn_weights:
         from ..ml import train_plausibility_weights, weights_from_df, weights_to_df
@@ -108,8 +125,33 @@ def run_pipeline(
         # distribution and the per-candidate existing-count — aggregate the
         # KB once (ReuseExchange dedupes the shared scan+shuffle)
         per_subj = per_subject_counts(kb["kb_triples"])
-        card = mine_cardinality(kb["kb_triples"], per_subj=per_subj)
-        rng = mine_range(kb["kb_triples"], kb["entity_class"], kb["class_ancestor"])
+        # The mined constraints are DIMENSION tables at any corpus scale
+        # (|P| x n and |P| x |C| rows) but their consumers re-derive them
+        # as duplicated plan subtrees (cardinality_score references card 3x
+        # via need/stats, range_score references rng's con 2x) — one
+        # constrain plan measured 162 Exchange + 28 BroadcastExchange nodes
+        # for 15k output rows before truncation. localCheckpoint pins the
+        # few-hundred-row results and collapses every downstream reference
+        # to a leaf (guide §3.3: materialize intermediates to truncate
+        # enormous plans); per_subj stays lazy — it is fact-scaled and its
+        # two consumers share one reusable exchange. The two mining jobs
+        # are independent, so they run from a 2-thread pool and overlap
+        # (guide §2.6) — measured constrain wall A=serial 4.0-6.6 s,
+        # no-checkpoint 5.1-6.0 s, overlapped 3.3-4.3 s.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as pool:
+            f_card = pool.submit(
+                lambda: mine_cardinality(
+                    kb["kb_triples"], per_subj=per_subject_counts(kb["kb_triples"])
+                ).localCheckpoint()
+            )
+            f_rng = pool.submit(
+                lambda: mine_range(
+                    kb["kb_triples"], kb["entity_class"], kb["class_ancestor"]
+                ).localCheckpoint()
+            )
+            card, rng = f_card.result(), f_rng.result()
         out = cardinality_score(scored, card, kb["kb_triples"], per_subj=per_subj)
         out = range_score(out, rng, kb["entity_class"])
         return merge_scores(out)
@@ -124,12 +166,8 @@ def run_pipeline(
         "decide", lambda: decide(predictions, threshold=threshold)
     )
 
-    canon = ctx.stage(
-        "canonicalize",
-        lambda: canonicalize(
-            kb["entity_label"], kb["redirects"], num_partitions=num_partitions
-        ),
-    )
+    canon = f_canon.result()
+    canon_pool.shutdown()
 
     ctx.stage(
         "materialize",
