@@ -198,8 +198,12 @@ def range_histogram(spark, sf_dir):
         .distinct()
         .join(part.select(F.col("p_partkey").alias("e"), F.col("p_type").alias("class")), "e")
     )
-    totals = oc.groupBy("p").agg(F.countDistinct("e").alias("tot"))
-    counts = oc.groupBy("p", "class").agg(F.countDistinct("e").alias("cnt"))
+    # oc is distinct (p, e) joined to the part PK, so (p, e) stays unique
+    # and count(*) == count(DISTINCT e) — dropping both countDistincts
+    # removes their Expand + second shuffle (the two aggs then also share
+    # oc's exchange via reuse)
+    totals = oc.groupBy("p").agg(F.count(F.lit(1)).alias("tot"))
+    counts = oc.groupBy("p", "class").agg(F.count(F.lit(1)).alias("cnt"))
     return counts.join(totals, "p").select(
         "p", "class", F.round(F.col("cnt") / F.col("tot"), 6).alias("rate")
     )

@@ -54,9 +54,16 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def extract_triples_raw(repos: DataFrame) -> DataFrame:
     """Per-file extraction only (no dedup) — shared by the batch stage and
     the streaming path (append-mode streams cannot aggregate without a
-    watermark, so dedup stays batch-side)."""
-    return repos.select(
-        "repo", "path", "commit", "content", F.sha2("content", 256).alias("content_sha")
+    watermark, so dedup stays batch-side). The regex pass is per-row CPU:
+    floor its parallelism when the scan yields fewer partitions than cores
+    (no-op at scale, and on streams)."""
+    from ..operators.spread import ensure_parallelism
+
+    return ensure_parallelism(
+        repos.select(
+            "repo", "path", "commit", "content",
+            F.sha2("content", 256).alias("content_sha"),
+        )
     ).mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
 
 
