@@ -202,6 +202,13 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
     h, w, comps = frame
     if len(scan) not in (1, 3):
         raise NotImplementedError("unsupported JPEG component count")
+    if len(scan) != len(comps):
+        # a legal baseline file may carry one SOS per component; decoding
+        # only the first scan would silently return grayscale-replicated Y
+        # for a color image — fail loudly like the progressive path does
+        raise NotImplementedError(
+            "multi-scan (non-interleaved) baseline JPEG not supported"
+        )
     by_id = {cid: (hc, vc, tq) for cid, hc, vc, tq in comps}
     hmax = max(hc for _, hc, _, _ in comps)
     vmax = max(vc for _, _, vc, _ in comps)

@@ -94,6 +94,8 @@ def build_link_training_set(
     """
     from .stages.sampling import negative_samples
 
+    from pyspark.sql import Window
+
     lab = entity_label.groupBy("entity").agg(F.min("label").alias("label"))
     pos = (
         kb_triples.select("s", "p", "o")
@@ -103,8 +105,14 @@ def build_link_training_set(
         .limit(n_pos)
         .drop("__h")
         # 1:1 (s, p) -> literal so the negatives' literal join below
-        # cannot fan out
-        .dropDuplicates(["s", "p"])
+        # cannot fan out; survivor picked DETERMINISTICALLY (min o) — a
+        # bare dropDuplicates keeps a plan/partitioning-dependent row,
+        # breaking the module's same-data -> same-weights claim
+        .withColumn(
+            "__r", F.row_number().over(Window.partitionBy("s", "p").orderBy("o"))
+        )
+        .filter(F.col("__r") == 1)
+        .drop("__r")
         .cache()
     )
     neg = negative_samples(
@@ -139,10 +147,23 @@ def build_link_training_set(
         )
         .drop("__elab")
     )
-    feats = join_pair_features(both, kb_triples, kge, kge_entity_rows)
+    # Leave-one-out featurization: positives ARE KB triples, so featurizing
+    # against the full KB lets every positive see its own edge (link_feat
+    # trivially 1.0, node_feat from its own triple) — a feature
+    # distribution inference never sees, since a correct-but-missing link
+    # has link_feat 0 (the reference's LinkFeat excludes the target
+    # predicate's own edge for the same reason, util_encode.py:129-139).
+    # Anti-joining the sampled positives out of the KB before featurization
+    # removes the label leak for positives and is a no-op for negatives.
+    kb_loo = kb_triples.join(pos.select("s", "p", "o"), ["s", "p", "o"], "left_anti")
+    feats = join_pair_features(both, kb_loo, kge, kge_entity_rows)
     # native path computes emb_score (TransE) with zero Python; the
     # default-weight model_score column is ignored by the trainer
-    return apply_plausibility_native(feats).select(*MODEL_FEATURES, "label")
+    out = apply_plausibility_native(feats).select(*MODEL_FEATURES, "label")
+    # expose the cached sample so the trainer can unpersist it after the
+    # bounded driver collect (the cache would otherwise live to session end)
+    out._kgcs_cached_sample = pos
+    return out
 
 
 def train_plausibility_weights(
@@ -156,10 +177,14 @@ def train_plausibility_weights(
 ) -> np.ndarray:
     """Fit the M8 plausibility logistic on self-supervised KB pairs.
     Returns MODEL_W-layout weights for score_candidates(model_w=...)."""
-    train = build_link_training_set(
+    pairs_df = build_link_training_set(
         kb_triples, entity_label, kge, n_pos=n_pos, attempts=attempts,
         kge_entity_rows=kge_entity_rows,
-    ).toPandas()  # bounded: <= n_pos * (1 + attempts) rows
+    )
+    train = pairs_df.toPandas()  # bounded: <= n_pos * (1 + attempts) rows
+    cached = getattr(pairs_df, "_kgcs_cached_sample", None)
+    if cached is not None:
+        cached.unpersist()
     if train.empty or train["label"].nunique() < 2:
         from .stages.score import MODEL_W
 

@@ -275,6 +275,13 @@ def connected_components(
     cluster, so output is deterministic regardless of hash values.
     Self-edges tolerated (define isolated nodes).
 
+    Session-wide side effect: while the loop runs,
+    ``spark.sql.constraintPropagation.enabled`` is disabled on the SHARED
+    session conf (restored on exit) — required so localCheckpoint captures
+    no origin constraints (see _cc_loop). A concurrent query on the same
+    SparkSession during that window runs without constraint propagation
+    (losing some inferred IsNotNull pushdowns, never correctness).
+
     freeze_stars (default on; tools/freeze_probe.py measures −40% wall at
     3.6M and at 20.8M mixed edges, identical labels) is ADAPTIVE: it only
     engages on rounds whose active edge count (free from the fused

@@ -62,13 +62,26 @@ def run_pipeline(
     # back-fill executor slots the chain's small stages leave idle).
     # StageResult append order may interleave, but ctx.ran[-1] is still
     # materialize, which joins on the result below before running.
-    canon_pool = ThreadPoolExecutor(max_workers=1)
+    canon_pool = ThreadPoolExecutor(max_workers=3)
     f_canon = canon_pool.submit(
         ctx.stage,
         "canonicalize",
         lambda: canonicalize(
             kb["entity_label"], kb["redirects"], num_partitions=num_partitions
         ),
+    )
+    # constraint mining likewise reads only the KB; its two dimension-table
+    # checkpoints (see _constrain below) start now and are usually done by
+    # the time the constrain stage needs them.
+    f_card = canon_pool.submit(
+        lambda: mine_cardinality(
+            kb["kb_triples"], per_subj=per_subject_counts(kb["kb_triples"])
+        ).localCheckpoint()
+    )
+    f_rng = canon_pool.submit(
+        lambda: mine_range(
+            kb["kb_triples"], kb["entity_class"], kb["class_ancestor"]
+        ).localCheckpoint()
     )
     model_w = None
     if learn_weights:
@@ -135,23 +148,12 @@ def run_pipeline(
         # to a leaf (guide §3.3: materialize intermediates to truncate
         # enormous plans); per_subj stays lazy — it is fact-scaled and its
         # two consumers share one reusable exchange. The two mining jobs
-        # are independent, so they run from a 2-thread pool and overlap
-        # (guide §2.6) — measured constrain wall A=serial 4.0-6.6 s,
-        # no-checkpoint 5.1-6.0 s, overlapped 3.3-4.3 s.
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(2) as pool:
-            f_card = pool.submit(
-                lambda: mine_cardinality(
-                    kb["kb_triples"], per_subj=per_subject_counts(kb["kb_triples"])
-                ).localCheckpoint()
-            )
-            f_rng = pool.submit(
-                lambda: mine_range(
-                    kb["kb_triples"], kb["entity_class"], kb["class_ancestor"]
-                ).localCheckpoint()
-            )
-            card, rng = f_card.result(), f_rng.result()
+        # are independent of the extract -> score chain, so they were
+        # submitted to the helper pool at pipeline start (guide §2.6) —
+        # measured constrain wall: serial checkpoints 4.0-6.6 s,
+        # no-checkpoint 5.1-6.0 s, overlapped 3.3-4.3 s, hoisted-overlap
+        # hides the mining entirely behind the upstream stages.
+        card, rng = f_card.result(), f_rng.result()
         out = cardinality_score(scored, card, kb["kb_triples"], per_subj=per_subj)
         out = range_score(out, rng, kb["entity_class"])
         return merge_scores(out)
