@@ -35,6 +35,28 @@ def q(name: str, sql: str | None = None):
     return deco
 
 
+_PINNED: dict = {}
+
+
+def _pin_checkpoint(key: str, df: DataFrame) -> DataFrame:
+    """localCheckpoint ``df`` and unpersist the PREVIOUS checkpoint taken
+    under the same key. Query functions are re-invoked from scratch per
+    bench repeat; without this, every repeat pins another full copy of the
+    checkpointed intermediate until driver GC happens to collect the old
+    RDD reference — measured as run-over-run slowdown (ngram_jaccard rep0
+    25 s -> rep1 31 s) from storage-memory pressure. Each invocation still
+    computes entirely from the parquet inputs; only the DROPPED previous
+    run's blocks are freed (guide §5: unpersist when done)."""
+    from .operators.components import _checkpoint_blocks, _unpersist_blocks
+
+    ck = df.localCheckpoint()
+    old = _PINNED.get(key)
+    if old is not None:
+        _unpersist_blocks(old)
+    _PINNED[key] = _checkpoint_blocks(ck)
+    return ck
+
+
 # =========================================================================
 # §2.2 Projections / filters / predicates
 # =========================================================================
@@ -612,10 +634,11 @@ def ngram_jaccard_pairs_query(spark, sf_dir):
     # oracle's sh CTE (which has no global distinct either); the operator
     # consumes the shingle table 3x (hot-df gate, sizes, both join sides) —
     # localCheckpoint materializes it ONCE, inside the timed region, so the
-    # explode+tokenize never replays (guide §3.3 plan-truncation).
-    sh = shingle_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3
-    ).localCheckpoint()
+    # explode+tokenize never replays (guide §3.3 plan-truncation);
+    # _pin_checkpoint frees the previous repeat's pinned blocks.
+    sh = _pin_checkpoint(
+        "ngram_sh", shingle_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+    )
     return ngram_jaccard_pairs(sh, tau=0.2)
 
 

@@ -340,25 +340,37 @@ def ngram_jaccard_pairs(
     stays internally consistent), mirroring lsh_candidate_pairs'
     max_bucket cap. Pass None to disable.
     """
+    from pyspark.sql.types import IntegralType
+
     sc = shingles.sparkSession.sparkContext
-    dfreq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     cap = F.lit(max_shingle_df) if max_shingle_df is not None else F.lit(None)
-    # exact pair-blowup stat from the SAME df-frequency aggregate the hot
-    # filter needs anyway: sum over surviving shingles of df*(df-1)/2 IS
-    # the co-occurrence row count the self-join below will emit. One
-    # bounded scalar action, used only to size the join's partitioning —
-    # the pair stage is the blown-up side (measured 127M rows from 2.6M
-    # shingle rows), so its parallelism must follow the BLOWUP, not the
-    # input size (guide §2: derive partitioning from data, not constants).
-    est = dfreq.agg(
-        F.sum(
-            F.when(
-                cap.isNull() | (F.col("df") <= cap),
-                F.col("df") * (F.col("df") - 1) / 2,
-            )
-        ).alias("pairs")
+    survives = cap.isNull() | (F.col("df") <= cap)
+    pairable_c = survives & (F.col("df") >= 2)
+    # ONE bounded scalar action drives every adaptive decision below, all
+    # derived from the same per-shingle frequency aggregate (guide §2:
+    # derive partitioning from data, not constants):
+    #   * est pair blowup = sum over surviving shingles of df*(df-1)/2 IS
+    #     the ordered co-occurrence row count the self-join will emit
+    #     (measured 127M rows from 2.6M shingle rows at bench scale) —
+    #     sizes the pair stages' parallelism to the BLOWUP, not the input;
+    #   * id bounds (min/max over shingle-group mins/maxes) decide pair-key
+    #     packing;
+    #   * the pairable-vocabulary row count decides whether the df>=2
+    #     index prune is broadcastable.
+    dfreq = shingles.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.min("id").alias("__mn"),
+        F.max("id").alias("__mx"),
+    )
+    st = dfreq.agg(
+        F.sum(F.when(survives, F.col("df") * (F.col("df") - 1) / 2)).alias("pairs"),
+        F.min("__mn").alias("mn"),
+        F.max("__mx").alias("mx"),
+        F.count(F.when(pairable_c, F.lit(1))).alias("n_pairable"),
+        F.sum(F.when(pairable_c, F.col("df"))).alias("pairable_rows"),
+        F.sum(F.when(survives, F.col("df"))).alias("surviving_rows"),
     ).first()
-    est_pairs = int(est["pairs"] or 0)
+    est_pairs = int(st["pairs"] or 0)
     n_pair_parts = max(
         sc.defaultParallelism, min(est_pairs // 2_000_000 + 1, 32 * sc.defaultParallelism)
     )
@@ -366,33 +378,96 @@ def ngram_jaccard_pairs(
         hot = dfreq.filter(F.col("df") > max_shingle_df).select("shingle")
         shingles = shingles.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    # The pair aggregate keys on (id_a, id_b) plus the two ride-along set
+    # sizes — four generic columns. When the id is integral with
+    # 0 <= id < 2^31 (known from the stats action), pair key AND sizes are
+    # each packed into ONE bigint: the blown-up exchange then moves 2
+    # non-null long fields per row instead of 4 and the aggregate hashes a
+    # single column (guide §2.3: narrower types / fewer bytes per row).
+    # Unpacked (and cast back to the input dtype) after the agg, so the
+    # result is bit-identical either way. (Set sizes are bounded by
+    # max_shingle_df's blowup guard only implicitly, but a single document
+    # cannot carry 2^31 distinct shingles in any real corpus; the unpacked
+    # path remains for unbounded/non-integral ids.)
+    id_type = shingles.schema["id"].dataType
+    pack = (
+        isinstance(id_type, IntegralType)
+        and st["mn"] is not None
+        and st["mn"] >= 0
+        and st["mx"] < (1 << 31)
+    )
+    # df = 1 shingles cannot produce a pair — prune them from the JOIN
+    # sides only (sizes above already counted them, matching the oracle's
+    # per-doc n). The prune is a broadcast semi-join against the pairable
+    # vocabulary, so it is gated on that vocabulary being broadcast-sized
+    # AND actually removing rows; corpora where the pairable vocabulary
+    # itself is data-scaled skip it and feed the self-join unpruned (df=1
+    # rows emit nothing there — they only cost build/probe work).
+    idx = shingles
+    if st["n_pairable"] is not None and st["n_pairable"] <= 4_000_000 and (
+        (st["surviving_rows"] or 0) > 1.25 * (st["pairable_rows"] or 0)
+    ):
+        pairable = dfreq.filter(pairable_c).select("shingle")
+        idx = shingles.join(F.broadcast(pairable), "shingle", "left_semi")
     # Attach set sizes to the INDEX rows (one |shingles|-row join on id),
     # not to the pair table: the co-occurrence pair table is the blown-up
     # side (sum over shingles of df^2 rows — measured 127M intermediate /
-    # ~50M distinct pairs from 2.6M shingle rows at bench scale), so
+    # ~110M distinct pairs from 2.6M shingle rows at bench scale), so
     # joining sizes after the aggregate meant two |pairs|-row joins. Here
     # na/nb ride through the self-join and are min-agg'd (functionally
     # dependent on the pair key), so the aggregate output needs NO further
     # join (guide §2.3: shuffle keys + small metadata, not re-joined
     # payloads). Identical jaccard: same sizes, same co-occurrence counts.
-    # one explicit shingle-keyed exchange sized to the pair blowup; both
+    # One explicit shingle-keyed exchange sized to the pair blowup; both
     # self-join sides are projections of it, so the join is co-partitioned
-    # and the exchange is computed once (ReuseExchange), and the blown-up
-    # pair emission + partial aggregation run at n_pair_parts tasks
-    # (measured 13.5 -> 6.5 s at 127M pairs on 32 cores)
-    sized = shingles.join(sizes, "id").repartition(n_pair_parts, "shingle")
+    # and the exchange is computed once (ReuseExchange). The SHUFFLE_HASH
+    # hint keeps it that way: Catalyst otherwise estimates the index side
+    # under the broadcast threshold and rewrites the self-join into a
+    # BroadcastHashJoin of the full inverted index — a relation that grows
+    # with the corpus, i.e. a guaranteed OOM at 100 TB — while discarding
+    # the co-partitioning the repartition paid for (guide §3.1: pick the
+    # strategy deliberately).
+    sized = idx.join(sizes, "id").repartition(n_pair_parts, "shingle")
     a = sized.select(F.col("id").alias("id_a"), "shingle", F.col("n").alias("na"))
     b = sized.select(F.col("id").alias("id_b"), "shingle", F.col("n").alias("nb"))
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.min("na").alias("na"),
-            F.min("nb").alias("nb"),
-        )
+    pair_rows = a.join(b.hint("SHUFFLE_HASH"), "shingle").filter(
+        F.col("id_a") < F.col("id_b")
     )
+    if pack:
+        inter = (
+            pair_rows.select(
+                F.shiftleft(F.col("id_a").cast("bigint"), 32)
+                .bitwiseOR(F.col("id_b").cast("bigint"))
+                .alias("pk"),
+                F.shiftleft(F.col("na"), 32).bitwiseOR(F.col("nb")).alias("sz"),
+            )
+            # one exchange either way (HashPartitioning(pk, n) satisfies the
+            # aggregate's distribution) — this sizes the reduce side to the
+            # measured blowup instead of the session's shuffle partitions,
+            # and the aggregate runs in ONE complete pass (a partial phase
+            # buys nothing here: co-occurrences of a pair live under
+            # different shingles, so map-side multiplicity is ~1)
+            .repartition(n_pair_parts, "pk")
+            .groupBy("pk")
+            .agg(F.count(F.lit(1)).alias("inter"), F.min("sz").alias("sz"))
+            .select(
+                F.shiftright("pk", 32).cast(id_type).alias("id_a"),
+                F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).cast(id_type).alias("id_b"),
+                "inter",
+                F.shiftright("sz", 32).alias("na"),
+                F.col("sz").bitwiseAND(F.lit((1 << 32) - 1)).alias("nb"),
+            )
+        )
+    else:
+        inter = (
+            pair_rows.repartition(n_pair_parts, "id_a", "id_b")
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.count(F.lit(1)).alias("inter"),
+                F.min("na").alias("na"),
+                F.min("nb").alias("nb"),
+            )
+        )
     return (
         inter.withColumn(
             "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
