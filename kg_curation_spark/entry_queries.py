@@ -581,12 +581,19 @@ def minhash_signatures_query(spark, sf_dir):
     "JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id",
 )
 def lsh_candidate_pairs_query(spark, sf_dir):
-    # fused array path: same band buckets straight off the wide minhash row
-    from .operators.dedup import lsh_candidate_pairs_fused
+    # fused array path: same band buckets straight off the wide minhash
+    # row; the NARROW wide table (8 ints/doc) is checkpointed so the
+    # tokenize+md5 minhash aggregation runs once, not once per
+    # pair-machinery consumer, and the previous repeat's blocks are freed
+    from .operators.dedup import lsh_pairs_from_wide, minhash_wide, shingle_pairs
 
-    return lsh_candidate_pairs_fused(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, n_hashes=8, bands=4
+    wide = _pin_checkpoint(
+        "lsh_wide",
+        minhash_wide(
+            shingle_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3), 8
+        ),
     )
+    return lsh_pairs_from_wide(wide, n_hashes=8, bands=4)
 
 
 _SIMHASH_SQL = (
@@ -1025,10 +1032,13 @@ def connected_components_star_query(spark, sf_dir):
 )
 def neardup_clusters_query(spark, sf_dir):
     from .operators.components import connected_components
-    from .operators.dedup import lsh_candidate_pairs_fused
+    from .operators.dedup import lsh_pairs_from_wide, minhash_wide, shingle_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs_fused(docs, "doc_id", "text", k=3, n_hashes=8, bands=4)
+    wide = _pin_checkpoint(
+        "neardup_wide", minhash_wide(shingle_pairs(docs, "doc_id", "text", k=3), 8)
+    )
+    pairs = lsh_pairs_from_wide(wide, n_hashes=8, bands=4)
     edges = pairs.select(
         F.lpad(F.col("id_a").cast("string"), 6, "0").alias("src"),
         F.lpad(F.col("id_b").cast("string"), 6, "0").alias("dst"),

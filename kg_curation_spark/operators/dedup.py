@@ -160,8 +160,13 @@ def _pairs_from_buckets(buckets: DataFrame, max_bucket: int) -> DataFrame:
     sized = buckets.join(ok_buckets, ["band", "bucket"], "left_semi")
     a = sized.select("band", "bucket", F.col("id").alias("id_a"))
     b = sized.select("band", "bucket", F.col("id").alias("id_b"))
+    # SHUFFLE_HASH: the bucket table scales with the corpus (|docs| x
+    # bands rows), so letting Catalyst broadcast it — which it does from
+    # post-aggregate size guesses — is a guaranteed OOM at 100 TB; the
+    # shuffled hash join moves each side once on the uniform (band,
+    # bucket) key instead (guide §3.1).
     return (
-        a.join(b, ["band", "bucket"])
+        a.join(b.hint("SHUFFLE_HASH"), ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -196,22 +201,22 @@ def lsh_candidate_pairs(
     return _pairs_from_buckets(buckets, max_bucket)
 
 
-def lsh_candidate_pairs_fused(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int = 3,
+def lsh_pairs_from_wide(
+    wide: DataFrame,
     n_hashes: int = 8,
     bands: int = 4,
     max_bucket: int = 1000,
 ) -> DataFrame:
-    """text -> (id_a, id_b), bit-identical to
-    lsh_candidate_pairs(minhash_signatures(shingle_table(...))) — the band
-    buckets are serialized straight off the wide minhash row (same
-    seed-order '_'-join), so the signature explode, the (id, band) groupBy
-    shuffle and the max(seed) probe job all disappear (guide §2.4)."""
+    """(id, m0..m{n-1}) wide minhash rows -> (id_a, id_b) LSH band pairs.
+
+    The pair machinery consumes the wide table THREE times (bucket-size
+    gate, both self-join sides) through subtrees that differ by
+    join-side IsNotNull constraints, so Catalyst cannot reuse one
+    exchange across them — callers should materialize ``wide`` first
+    (localCheckpoint; it is the NARROW per-doc signature table,
+    n_hashes ints per document, so storing it is cheap at any scale)
+    or accept the minhash aggregation running once per consumer."""
     rows_per_band = n_hashes // bands
-    wide = minhash_wide(shingle_pairs(df, id_col, text_col, k=k), n_hashes)
     bands_arr = F.array(
         *[
             F.struct(
@@ -231,6 +236,32 @@ def lsh_candidate_pairs_fused(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     return _pairs_from_buckets(buckets, max_bucket)
+
+
+def lsh_candidate_pairs_fused(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """text -> (id_a, id_b), bit-identical to
+    lsh_candidate_pairs(minhash_signatures(shingle_table(...))) — the band
+    buckets are serialized straight off the wide minhash row (same
+    seed-order '_'-join), so the signature explode, the (id, band) groupBy
+    shuffle and the max(seed) probe job all disappear (guide §2.4). The
+    wide signature table is localCheckpoint'd so the tokenize+md5 minhash
+    aggregation runs ONCE instead of once per pair-machinery consumer
+    (see lsh_pairs_from_wide); callers that manage checkpoint lifecycle
+    themselves should call minhash_wide + lsh_pairs_from_wide directly."""
+    wide = minhash_wide(
+        shingle_pairs(df, id_col, text_col, k=k), n_hashes
+    ).localCheckpoint()
+    return lsh_pairs_from_wide(
+        wide, n_hashes=n_hashes, bands=bands, max_bucket=max_bucket
+    )
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
