@@ -40,17 +40,19 @@ def run_pipeline(
     force: bool = False,
     kge_entity_rows: int | None = None,
     vector_features: bool = False,
-    learn_weights: bool = False,
+    learn_weights: bool = True,
 ) -> PipelineContext:
     """Returns the context; final graph at ctx.ran[-1].df.
 
-    learn_weights=True trains the M8 plausibility logistic on
-    self-supervised KB pos/neg pairs (ml.train_plausibility_weights —
-    the reference's train-then-predict shape, util_nn.py:11-108) as its
-    own checkpointed stage, replacing the shipped default weights. Off by
-    default in the throughput path: training adds a fixed ~bounded-sample
-    cost per run that repeat pipelines amortize by persisting the tiny
-    weight table once and passing it back in.
+    learn_weights=True (the default — the measured pipeline IS the shipped
+    train-then-predict pipeline) trains the M8 plausibility logistic on
+    self-supervised KB pos/neg pairs (ml.train_plausibility_weights — the
+    reference's shape, util_nn.py:11-108) as its own checkpointed stage,
+    replacing the shipped default weights. Training reads only the KB +
+    KGE, so it runs on the helper pool and overlaps the extract ->
+    candidates leg (guide §2.6); the score stage blocks on the trained
+    weights only when it actually starts. Repeat pipelines that persist
+    the tiny weight table pass learn_weights=False and model_w back in.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -62,7 +64,7 @@ def run_pipeline(
     # back-fill executor slots the chain's small stages leave idle).
     # StageResult append order may interleave, but ctx.ran[-1] is still
     # materialize, which joins on the result below before running.
-    canon_pool = ThreadPoolExecutor(max_workers=3)
+    canon_pool = ThreadPoolExecutor(max_workers=4)
     f_canon = canon_pool.submit(
         ctx.stage,
         "canonicalize",
@@ -83,11 +85,12 @@ def run_pipeline(
             kb["kb_triples"], kb["entity_class"], kb["class_ancestor"]
         ).localCheckpoint()
     )
-    model_w = None
+    f_model = None
     if learn_weights:
-        from ..ml import train_plausibility_weights, weights_from_df, weights_to_df
+        from ..ml import train_plausibility_weights, weights_to_df
 
-        wdf = ctx.stage(
+        f_model = canon_pool.submit(
+            ctx.stage,
             "train_model",
             lambda: weights_to_df(
                 spark,
@@ -97,7 +100,6 @@ def run_pipeline(
                 ),
             ),
         )
-        model_w = weights_from_df(wdf)
 
     assertions = ctx.stage(
         "extract",
@@ -112,26 +114,33 @@ def run_pipeline(
         lambda: generate_candidates(assertions, kb["entity_label"]),
     )
 
-    scored = ctx.stage(
-        "score",
-        # vector_features=False default: the deterministic stand-in model
-        # carries ZERO weights for the M2 block, so materializing the
-        # dense/sparse vectors here buys no accuracy and costs two KB-sized
-        # shuffles + an Arrow pass — pure waste in the throughput pipeline.
-        # Deployments with a trained checkpoint (nonzero block weights)
-        # pass True; the full M2->M8 path is value-oracled
-        # (q:linkfeat_vector, q:linkfeat_sparse_indices) and tested at
-        # |P|=1,958 (tests/test_score_vectors.py).
-        lambda: score_candidates(
+    def _score() -> DataFrame:
+        model_w = None
+        if f_model is not None:
+            from ..ml import weights_from_df
+
+            # blocks only if training hasn't finished overlapping the
+            # extract -> candidates leg (a bounded driver-side fit)
+            model_w = weights_from_df(f_model.result())
+        return score_candidates(
             assertions, cand, kb["kb_triples"], kge,
             entity_class=kb.get("entity_class"),
             vector_features=vector_features,
-            # row count threaded from caller metadata (Iceberg manifest /
-            # stage lineage) — saves the broadcast-budget probe job
             kge_entity_rows=kge_entity_rows,
             model_w=model_w,
-        ),
-    )
+        )
+
+    # vector_features=False default: the stand-in model carries ZERO
+    # weights for the M2 block, so materializing the dense/sparse vectors
+    # here buys no accuracy and costs two KB-sized shuffles + an Arrow
+    # pass — pure waste in the throughput pipeline. Deployments with a
+    # trained checkpoint (nonzero block weights) pass True; the full
+    # M2->M8 path is value-oracled (q:linkfeat_vector,
+    # q:linkfeat_sparse_indices) and tested at |P|=1,958
+    # (tests/test_score_vectors.py). kge_entity_rows is threaded from
+    # caller metadata (Iceberg manifest / stage lineage) — saves the
+    # broadcast-budget probe job.
+    scored = ctx.stage("score", _score)
 
     def _constrain() -> DataFrame:
         # the per-(subject, predicate) object counts feed BOTH the mined
