@@ -27,19 +27,26 @@ from .spread import ensure_parallelism as _spread
 from .topk import topk_per_group
 
 
-def _cosine(a, b):
-    dot = F.aggregate(
+def _dot(a, b):
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(
-        F.aggregate(F.transform(a, lambda x: (x * x).cast("double")), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     )
-    nb = F.sqrt(
-        F.aggregate(F.transform(b, lambda x: (x * x).cast("double")), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    return dot / (na * nb)
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 def brute_force_cosine_topk(
@@ -57,15 +64,24 @@ def brute_force_cosine_topk(
     one id space; pass False for cross-domain sets (e.g. literal strings
     vs entity ids), where an accidental id collision is a real pair.
     """
+    # Norms are per-VECTOR, not per-pair: computing them inside the Q x N
+    # cosine meant the interpreted higher-order fold (CodegenFallback) ran
+    # Q times per corpus vector and N times per query vector. Hoisting
+    # each side's norm into a projection BEFORE the join evaluates the
+    # same expression over the same array once per row — bit-identical
+    # values, ~3x less interpreted work per pair (guide §1.2: fix the
+    # per-task work once the job shape is right).
     qs = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("__qn"),
     )
     # the O(Q x N) cosine work is per-base-row CPU: floor its parallelism
     base = _spread(
         embeddings.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
         )
-    )
+    ).withColumn("__nn", _norm(F.col("nvec")))
     joined = base.crossJoin(F.broadcast(qs))
     if exclude_self:
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -73,7 +89,10 @@ def brute_force_cosine_topk(
         joined.select(
             "query_id",
             "neighbor_id",
-            F.round(_cosine(F.col("qvec"), F.col("nvec")), 6).alias("cosine"),
+            F.round(
+                _dot(F.col("qvec"), F.col("nvec")) / (F.col("__qn") * F.col("__nn")),
+                6,
+            ).alias("cosine"),
         )
     )
     return topk_per_group(
@@ -175,14 +194,18 @@ def lsh_cosine_topk(
     re-ranked, so returned scores equal the brute-force scores; only
     coverage is approximate. Join key is (table, bucket) — uniform.
     """
-    # signature pass is per-row numpy: floor the base side's parallelism
+    # signature pass is per-row numpy: floor the base side's parallelism.
+    # Norms hoisted per-vector before the bucket join (same rationale and
+    # bit-identical values as brute_force_cosine_topk).
     base = _spread(
         embeddings.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
         )
-    )
+    ).withColumn("__nn", _norm(F.col("nvec")))
     qs0 = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("__qn"),
     )
 
     # ONE signature pass for all tables (posexplode of the per-table array)
@@ -192,10 +215,11 @@ def lsh_cosine_topk(
     base_all = base.withColumn("__sigs", sigs("nvec")).select(
         "neighbor_id",
         "nvec",
+        "__nn",
         F.posexplode("__sigs").alias("table", "bucket"),
     )
     qsig = qs0.withColumn("__sigs", sigs("qvec")).select(
-        "query_id", "qvec", F.posexplode("__sigs").alias("table", "qsig")
+        "query_id", "qvec", "__qn", F.posexplode("__sigs").alias("table", "qsig")
     )
     probes = [F.col("qsig")]
     if multiprobe_hamming >= 1:
@@ -208,12 +232,14 @@ def lsh_cosine_topk(
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
     cand = cand.select(
-        "query_id", "neighbor_id", "qvec", "nvec"
+        "query_id", "neighbor_id", "qvec", "nvec", "__qn", "__nn"
     ).dropDuplicates(["query_id", "neighbor_id"])
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(_cosine(F.col("qvec"), F.col("nvec")), 6).alias("cosine"),
+        F.round(
+            _dot(F.col("qvec"), F.col("nvec")) / (F.col("__qn") * F.col("__nn")), 6
+        ).alias("cosine"),
     )
     return topk_per_group(
         scored, ["query_id"], [F.desc("cosine"), F.asc("neighbor_id")], k
