@@ -156,13 +156,22 @@ def build_link_training_set(
     # Anti-joining the sampled positives out of the KB before featurization
     # removes the label leak for positives and is a no-op for negatives.
     kb_loo = kb_triples.join(pos.select("s", "p", "o"), ["s", "p", "o"], "left_anti")
-    feats = join_pair_features(both, kb_loo, kge, kge_entity_rows)
+    # the bounded sample is materialized once (a few thousand rows), so
+    # the bounded_probe key broadcasts below don't re-run the sample
+    # lineage per probe; bounded_probe keeps the trainer from shuffling
+    # the whole KB to featurize a fixed-size sample (see
+    # score.join_pair_features) — at 32M quads the unordered-pair distinct
+    # alone is otherwise a corpus-scale shuffle inside train_model
+    both = both.localCheckpoint()
+    feats = join_pair_features(both, kb_loo, kge, kge_entity_rows, bounded_probe=True)
     # native path computes emb_score (TransE) with zero Python; the
     # default-weight model_score column is ignored by the trainer
     out = apply_plausibility_native(feats).select(*MODEL_FEATURES, "label")
-    # expose the cached sample so the trainer can unpersist it after the
-    # bounded driver collect (the cache would otherwise live to session end)
+    # expose the cached/checkpointed samples so the trainer can unpersist
+    # them after the bounded driver collect (they would otherwise live to
+    # session end)
     out._kgcs_cached_sample = pos
+    out._kgcs_checkpointed = both
     return out
 
 
@@ -185,6 +194,11 @@ def train_plausibility_weights(
     cached = getattr(pairs_df, "_kgcs_cached_sample", None)
     if cached is not None:
         cached.unpersist()
+    ckpt = getattr(pairs_df, "_kgcs_checkpointed", None)
+    if ckpt is not None:
+        from .operators.components import _checkpoint_blocks, _unpersist_blocks
+
+        _unpersist_blocks(_checkpoint_blocks(ckpt))
     if train.empty or train["label"].nunique() < 2:
         from .stages.score import MODEL_W
 

@@ -76,11 +76,23 @@ def join_pair_features(
     kb_triples: DataFrame,
     kge: DataFrame,
     kge_entity_rows: int | None = None,
+    bounded_probe: bool = False,
 ) -> DataFrame:
     """KB feature joins over (subject, predicate, entity[, …]) pair rows —
     shared by inference (attach_features) and training-pair construction
     (ml.build_link_training_set), so learned weights see EXACTLY the
-    features the scorer applies them to."""
+    features the scorer applies them to.
+
+    bounded_probe=True (training: cand is a SAMPLE of a few thousand
+    rows) prefilters each KB-wide probe build with a broadcast semi-join
+    on cand's own keys before the distinct/groupBy, so featurizing a
+    bounded sample never shuffles the whole KB: the unordered-pair
+    distinct and the (p, o) count aggregate then run over only the KB
+    rows that can match a sample row. Feature VALUES are identical — a
+    left join only ever reads probe rows whose key appears in cand, and
+    the (p, o) counts are computed over all KB rows for each surviving
+    key. Never set this for corpus-scaled cand: broadcasting its key set
+    would be the classic ship-everything failure (guide §3.2)."""
     # LinkFeat: any KB edge between subject and candidate, either direction.
     # "Either direction" means the UNORDERED pair is what's probed, so the
     # probe set is keyed on (least, greatest) — one scan and an |E|-row
@@ -91,14 +103,20 @@ def join_pair_features(
     # (least/greatest skip NULLs, which would collapse (x, NULL) to (x, x)
     # and falsely match self-loop edges; a NULL equi-join key never matches,
     # so filter/propagate NULLs explicitly to keep semantics identical.)
-    pairs = (
-        kb_triples.filter(F.col("s").isNotNull() & F.col("o").isNotNull())
-        .select(
-            F.least("s", "o").alias("__lp_a"), F.greatest("s", "o").alias("__lp_b")
-        )
-        .distinct()
-        .withColumn("link_feat", F.lit(1.0))
+    kb_lp = kb_triples.filter(F.col("s").isNotNull() & F.col("o").isNotNull()).select(
+        F.least("s", "o").alias("__lp_a"), F.greatest("s", "o").alias("__lp_b")
     )
+    if bounded_probe:
+        pkeys = (
+            cand.filter(F.col("subject").isNotNull() & F.col("entity").isNotNull())
+            .select(
+                F.least("subject", "entity").alias("__lp_a"),
+                F.greatest("subject", "entity").alias("__lp_b"),
+            )
+            .distinct()
+        )
+        kb_lp = kb_lp.join(F.broadcast(pkeys), ["__lp_a", "__lp_b"], "left_semi")
+    pairs = kb_lp.distinct().withColumn("link_feat", F.lit(1.0))
     both = F.col("subject").isNotNull() & F.col("entity").isNotNull()
     cand = (
         cand.withColumn("__lp_a", F.when(both, F.least("subject", "entity")))
@@ -109,7 +127,13 @@ def join_pair_features(
     )
 
     # NodeFeat: #{(p, o=entity)} > 1 in KB (util_encode.py:105-109)
-    po_counts = kb_triples.groupBy(
+    kb_po = kb_triples
+    if bounded_probe:
+        po_keys = cand.select(
+            F.col("predicate").alias("p"), F.col("entity").alias("o")
+        ).distinct()
+        kb_po = kb_triples.join(F.broadcast(po_keys), ["p", "o"], "left_semi")
+    po_counts = kb_po.groupBy(
         F.col("p").alias("predicate"), F.col("o").alias("entity")
     ).agg(F.count(F.lit(1)).alias("__n"))
     cand = (

@@ -160,6 +160,7 @@ def main() -> None:
         # user, nice, system, idle, iowait, irq, softirq, steal
         return [int(x) for x in f[1:9]]
 
+    partial_path = os.environ.get("KG_SCALE_PARTIAL", "tools/out/ladder_partial.json")
     results = {}
     for cpus in legs:
         # tmpfs shuffle + JVM heap share physical RAM on this box; cap the
@@ -195,17 +196,27 @@ def main() -> None:
             "steal": round(100 * d[7] / tot, 1),
         }
         print(f"local[{cpus}]: {results[cpus]}", file=sys.stderr)
+        # write partial results after EVERY leg: a crashed or single-leg
+        # run keeps its data (the r6 disk-shuffle control lost its one
+        # completed leg to the former `a, b = legs` unpack here)
+        os.makedirs(os.path.dirname(partial_path) or ".", exist_ok=True)
+        with open(partial_path, "w") as fh:
+            json.dump({"input_quads": QUADS, "legs": {str(c): r for c, r in results.items()}}, fh, indent=2)
 
-    a, b = legs
-    eff = (results[b]["triples_per_sec"] / results[a]["triples_per_sec"]) / (b / a)
     report = {
         "job": "kg_pipeline(extract->link->constrain->decide->canonicalize->materialize)",
         "input_quads": QUADS,
-        "n_parallelism": results[a],
-        "4n_parallelism": results[b],
-        "scaling_efficiency": round(eff, 3),
-        "target": 0.8,
+        "legs": {str(c): r for c, r in results.items()},
     }
+    lo, hi = min(results), max(results)
+    if lo != hi:
+        eff = (
+            results[hi]["triples_per_sec"] / results[lo]["triples_per_sec"]
+        ) / (hi / lo)
+        report["n_parallelism"] = results[lo]
+        report["4n_parallelism"] = results[hi]
+        report["scaling_efficiency"] = round(eff, 3)
+        report["target"] = 0.8
     print(json.dumps(report, indent=2))
 
 
