@@ -112,3 +112,28 @@ def test_simhash_arrow_equals_explode_form(spark):
     plan = simhash64_arrow(docs, "doc_id", "text")._jdf.queryExecution(
     ).executedPlan().toString()
     assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_ngram_jaccard_string_ids_match_packed_path(spark):
+    """The packed-pair-key fast path only engages for bounded integral
+    ids; string ids must take the generic path and produce identical
+    scores (same pairs, same jaccard)."""
+    from kg_curation_spark.operators.dedup import shingle_table
+
+    ints = _docs(spark)
+    strs = ints.select(
+        F.format_string("d%05d", "doc_id").alias("doc_id"), "text"
+    )
+    by_int = {
+        (f"d{r['id_a']:05d}", f"d{r['id_b']:05d}"): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            shingle_table(ints, "doc_id", "text", k=3), tau=0.2
+        ).collect()
+    }
+    by_str = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            shingle_table(strs, "doc_id", "text", k=3), tau=0.2
+        ).collect()
+    }
+    assert by_int == by_str and by_int
