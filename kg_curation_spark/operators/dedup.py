@@ -458,13 +458,56 @@ def ngram_jaccard_pairs(
     # with the corpus, i.e. a guaranteed OOM at 100 TB — while discarding
     # the co-partitioning the repartition paid for (guide §3.1: pick the
     # strategy deliberately).
-    sized = idx.join(sizes, "id").repartition(n_pair_parts, "shingle")
-    a = sized.select(F.col("id").alias("id_a"), "shingle", F.col("n").alias("na"))
-    b = sized.select(F.col("id").alias("id_b"), "shingle", F.col("n").alias("nb"))
+    # When the id SPAN proves the per-doc size table broadcastable
+    # (n_docs <= mx - mn + 1, known from the same stats action — no extra
+    # job), the sizes don't ride through the blown-up exchange at all:
+    # the pair rows carry ONLY the packed key (8 data bytes/row), the
+    # aggregate keeps count-only state, and na/nb are re-attached to the
+    # ~|distinct pairs| aggregate OUTPUT with two map-side broadcast hash
+    # probes (no shuffle). Above the budget — or for unbounded ids — the
+    # sizes ride along as before (never a broadcast of a corpus-scaled
+    # per-doc table).
+    sizes_post = pack and (st["mx"] - st["mn"] + 1) <= 4_000_000
+    sized = idx if sizes_post else idx.join(sizes, "id")
+    sized = sized.repartition(n_pair_parts, "shingle")
+    if sizes_post:
+        a = sized.select(F.col("id").alias("id_a"), "shingle")
+        b = sized.select(F.col("id").alias("id_b"), "shingle")
+    else:
+        a = sized.select(F.col("id").alias("id_a"), "shingle", F.col("n").alias("na"))
+        b = sized.select(F.col("id").alias("id_b"), "shingle", F.col("n").alias("nb"))
     pair_rows = a.join(b.hint("SHUFFLE_HASH"), "shingle").filter(
         F.col("id_a") < F.col("id_b")
     )
-    if pack:
+    if sizes_post:
+        inter = (
+            pair_rows.select(
+                F.shiftleft(F.col("id_a").cast("bigint"), 32)
+                .bitwiseOR(F.col("id_b").cast("bigint"))
+                .alias("pk")
+            )
+            .repartition(n_pair_parts, "pk")
+            .groupBy("pk")
+            .agg(F.count(F.lit(1)).alias("inter"))
+            .select(
+                F.shiftright("pk", 32).cast(id_type).alias("id_a"),
+                F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).cast(id_type).alias("id_b"),
+                "inter",
+            )
+            .join(
+                F.broadcast(
+                    sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+                ),
+                "id_a",
+            )
+            .join(
+                F.broadcast(
+                    sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+                ),
+                "id_b",
+            )
+        )
+    elif pack:
         inter = (
             pair_rows.select(
                 F.shiftleft(F.col("id_a").cast("bigint"), 32)
