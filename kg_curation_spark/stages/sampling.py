@@ -121,6 +121,7 @@ def negative_samples(
     attempts: int = 5,
     corrupt: str = "o",
     broadcast_max_rows: int | None = None,
+    pool_rows: int | None = None,
 ) -> DataFrame:
     """-> (s, p, o, attempt) corrupted triples NOT present in the KB.
 
@@ -135,14 +136,23 @@ def negative_samples(
     hundreds of millions of rows and an unconditional broadcast is the
     classic serial-build / ship-everywhere failure. Above the budget the
     join shuffles on ``eid``, a uniform dense-id key, at full parallelism.
+
+    pool_rows: distinct-entity count from caller metadata (Iceberg
+    manifest / stage lineage — the kge_entity_rows pattern). Without it
+    the pool lineage used to run THREE times (dictionary_encode's sizing
+    count, its boundary sample, and the n_pool count over the encoded
+    output); the count is now taken once on the raw distinct pool and
+    threaded into dictionary_encode's approx_rows — identical n_pool and
+    identical dense ids, one fewer full pass either way.
     """
     from .score import BROADCAST_MAX_ROWS
 
     budget = BROADCAST_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
+    distinct_pool = entity_pool.select(F.col("entity")).distinct()
+    n_pool = pool_rows if pool_rows is not None else distinct_pool.count()
     pool = dictionary_encode(
-        entity_pool.select(F.col("entity")), "entity", "eid"
+        distinct_pool, "entity", "eid", approx_rows=n_pool
     )
-    n_pool = pool.count()
 
     att = triples.sparkSession.range(attempts).select(
         F.col("id").cast("int").alias("attempt")
