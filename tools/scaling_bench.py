@@ -29,9 +29,9 @@ Usage:
     python tools/scaling_bench.py --run 8    # single measured leg (internal)
 Knobs: KG_SCALE_QUADS, KG_SCALE_LEGS, KG_SCALE_EXEC_CORES (2),
 KG_SCALE_EXEC_MEM MB (12288), KG_SCALE_EVENTLOG, KG_SCALE_DRIVER_MEM,
-KG_SCALE_LOCAL_DIRS (default /dev/shm/spark-tmp — point at a disk path
-to take shuffle files OUT of tmpfs when testing the RAM-pressure term:
-heaps + tmpfs shuffle + corpus share the same physical memory).
+KG_SCALE_LOCAL_DIRS (default /var/tmp/spark-scale-tmp, i.e. DISK —
+the r7 control pair measured tmpfs shuffle as the anti-scaling term;
+point back at /dev/shm to reproduce the pre-r7 instrument).
 """
 
 from __future__ import annotations
@@ -47,10 +47,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 QUADS = int(os.environ.get("KG_SCALE_QUADS", "2000000"))
-# tmpfs by default: a single box's one SSD is shared across all task
-# threads and would masquerade as an anti-scaling resource; on the real
-# N/4N-executor cluster, checkpoint+shuffle I/O bandwidth scales with
-# executor count. tmpfs gives the sandbox the same property.
+# The CORPUS stays in tmpfs (read-mostly, page-cache-equivalent), but the
+# SHUFFLE default moved to disk in round 7: the r7 control pair measured
+# the tmpfs shuffle medium ITSELF as the anti-scaling resource — its
+# writes compete for the DRAM bandwidth the tasks need (4x2 leg 1,513 s
+# tmpfs vs 1,149 s disk; ladder efficiency 0.628 tmpfs vs 0.813 disk at
+# 32M quads, steal 0.0-0.1% both). Disk writes drain through async
+# page-cache writeback instead. Set KG_SCALE_LOCAL_DIRS=/dev/shm/... to
+# reproduce the old instrument.
 CORPUS = os.environ.get("KG_SCALE_CORPUS", "/dev/shm/kg_scale_corpus")
 
 
@@ -168,7 +172,7 @@ def main() -> None:
         env = dict(
             os.environ,
             SPARK_LOCAL_DIRS=os.environ.get(
-                "KG_SCALE_LOCAL_DIRS", "/dev/shm/spark-tmp"
+                "KG_SCALE_LOCAL_DIRS", "/var/tmp/spark-scale-tmp"
             ),
             SPARK_DRIVER_MEM=os.environ.get("KG_SCALE_DRIVER_MEM", "32g"),
         )
